@@ -1,0 +1,134 @@
+"""Synthetic miniature TIMIT-shaped dataset generator.
+
+The upstream toolkit's de-facto integration fixture is a tiny Kaldi data
+folder (``quick_test/``) that is referenced throughout the reference
+README (ref: README.md:334-379) but not shipped. This module generates a
+fully self-contained stand-in on disk in the same on-disk dialect our
+native readers speak: feature ark/scp files, gzipped alignment archives,
+a JSON transition model, utt2spk, prior counts and reference phone
+transcriptions — enough to run every phase (train/valid/forward/decode)
+end-to-end without Kaldi or real speech.
+
+Data model: ``num_phones`` classes; each utterance is a random sequence
+of phone segments (3-20 frames); frame features are drawn from a
+class-conditional Gaussian (distinct random means), so acoustic models
+can genuinely learn the frame classification task and PER falls well
+below chance. Context-dependent ("cd") labels are simulated with
+``states_per_phone`` sub-states per phone walked left-to-right within
+each segment.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, List
+
+import numpy as np
+
+from . import kaldi_io
+from .features import TransitionModel, write_prior_counts
+
+
+@dataclass
+class SynthSpec:
+    num_phones: int = 24
+    states_per_phone: int = 2      # cd pdfs = num_phones * states_per_phone
+    feat_dim: int = 13
+    num_utts: int = 60
+    min_len: int = 60
+    max_len: int = 220
+    min_seg: int = 3
+    max_seg: int = 20
+    noise: float = 0.6
+    seed: int = 1234
+
+    @property
+    def num_pdfs(self) -> int:
+        return self.num_phones * self.states_per_phone
+
+
+def generate(root: str, spec: SynthSpec = SynthSpec(),
+             splits: Dict[str, int] | None = None) -> Dict[str, str]:
+    """Write train/dev/test splits under ``root``; returns folder paths.
+
+    Layout per split (mirrors the Kaldi data-folder conventions the
+    reference configs point at, cfg/TIMIT_CGS/*.cfg):
+      <root>/<split>/feats.scp, feats.ark, utt2spk, text
+      <root>/<split>_ali/ali.1.gz, final.mdl.json, ali_train_pdf.counts
+    """
+    if splits is None:
+        splits = {"train": spec.num_utts, "dev": max(spec.num_utts // 4, 4),
+                  "test": max(spec.num_utts // 4, 4)}
+    rng = np.random.RandomState(spec.seed)
+    # class-conditional means shared across splits
+    means = rng.randn(spec.num_pdfs, spec.feat_dim) * 2.0
+    tmodel = TransitionModel.identity(spec.num_pdfs)
+    # phone of pdf p is p // states_per_phone; expose through tid2phone
+    tmodel.tid2phone = np.concatenate(
+        [[-1], np.arange(spec.num_pdfs, dtype=np.int32) // spec.states_per_phone])
+    tmodel.num_phones = spec.num_phones
+
+    out: Dict[str, str] = {}
+    for split, n_utts in splits.items():
+        data_dir = os.path.join(root, split)
+        ali_dir = os.path.join(root, split + "_ali")
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(ali_dir, exist_ok=True)
+
+        utt2spk = open(os.path.join(data_dir, "utt2spk"), "w")
+        text = open(os.path.join(data_dir, "text"), "w")
+        ali_buf = gzip.open(os.path.join(ali_dir, "ali.1.gz"), "wb")
+        counts = np.zeros(spec.num_pdfs, dtype=np.float64)
+
+        with kaldi_io.ArkScpWriter(os.path.join(data_dir, "feats.ark"),
+                                   os.path.join(data_dir, "feats.scp")) as w:
+            for u in range(n_utts):
+                utt = "%s_utt%03d" % (split, u)
+                T = rng.randint(spec.min_len, spec.max_len + 1)
+                phones: List[int] = []
+                pdf_seq: List[int] = []
+                while len(pdf_seq) < T:
+                    ph = rng.randint(spec.num_phones)
+                    seg = rng.randint(spec.min_seg, spec.max_seg + 1)
+                    phones.append(ph)
+                    # walk sub-states left to right within the segment
+                    for i in range(seg):
+                        state = min(i * spec.states_per_phone // seg,
+                                    spec.states_per_phone - 1)
+                        pdf_seq.append(ph * spec.states_per_phone + state)
+                pdf_seq = np.array(pdf_seq[:T], dtype=np.int32)
+                feats = means[pdf_seq] + rng.randn(T, spec.feat_dim) * spec.noise
+                w.write(utt, feats.astype(np.float32))
+                # alignments hold transition-ids = pdf+1 (identity model)
+                kaldi_io.write_vec_int(ali_buf, pdf_seq + 1, key=utt)
+                counts += np.bincount(pdf_seq, minlength=spec.num_pdfs)
+                utt2spk.write("%s spk%d\n" % (utt, u % 5))
+                text.write("%s %s\n" % (utt, " ".join(str(p) for p in phones)))
+        utt2spk.close()
+        text.close()
+        ali_buf.close()
+        tmodel.to_json(os.path.join(ali_dir, "final.mdl.json"))
+        write_prior_counts(counts, os.path.join(ali_dir, "ali_train_pdf.counts"))
+        out[split] = data_dir
+        out[split + "_ali"] = ali_dir
+    # a phone-level "graph" descriptor for the decoder (phone-loop HMM)
+    graph_dir = os.path.join(root, "graph")
+    os.makedirs(graph_dir, exist_ok=True)
+    with open(os.path.join(graph_dir, "graph.json"), "w") as f:
+        json.dump({"type": "phone_loop", "num_phones": spec.num_phones,
+                   "states_per_phone": spec.states_per_phone}, f)
+    out["graph"] = graph_dir
+    return out
+
+
+def read_text(path: str) -> Dict[str, List[int]]:
+    """Read reference transcriptions (utt -> phone-id sequence)."""
+    out: Dict[str, List[int]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            out[parts[0]] = [int(t) for t in parts[1:]]
+    return out
