@@ -1,0 +1,135 @@
+"""MLP acoustic model (ref: neural_networks.py:81-361).
+
+Configurable feed-forward stack: per-layer dims / dropout / batch-layer
+norm / activation, with the full CGS compression stack (HCGS masks,
+guided HCGS, patterns, magnitude pruning, weight+activation
+quantization). Compute is a chain of (masked, quantized) matmuls — on
+TPU these land directly on the MXU; the compression pipeline is fused by
+XLA into the matmul producers instead of mutating weights on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparsity import hcgs as hcgs_mod
+from ..sparsity import pattern as pattern_mod
+from .base import (AcousticModel, CompressionSpec, effective_weight,
+                   maybe_quant_input, opt_bool)
+from .layers import (act_fun, batch_norm, batch_norm_params, batch_norm_state,
+                     dropout, layer_norm, layer_norm_params,
+                     small_uniform_init)
+
+
+class MLP(AcousticModel):
+    def __init__(self, options: Mapping[str, Any], inp_dim: int):
+        super().__init__(options, inp_dim)
+        self.dnn_lay = [int(v) for v in options["dnn_lay"].split(",")]
+        self.dnn_drop = [float(v) for v in options["dnn_drop"].split(",")]
+        self.use_batchnorm = [s.strip() in ("True", "true", "1")
+                              for s in options["dnn_use_batchnorm"].split(",")]
+        self.use_laynorm = [s.strip() in ("True", "true", "1")
+                            for s in options["dnn_use_laynorm"].split(",")]
+        self.use_laynorm_inp = opt_bool(options, "dnn_use_laynorm_inp")
+        self.use_batchnorm_inp = opt_bool(options, "dnn_use_batchnorm_inp")
+        self.dnn_act = options["dnn_act"].split(",")
+        self.spec = CompressionSpec(options, "mlp")
+        self.N = len(self.dnn_lay)
+        self.out_dim = self.dnn_lay[-1]
+        self._acts = [act_fun(a) for a in self.dnn_act]
+
+    # ------------------------------------------------------------------
+    def init(self, seed: int) -> Dict[str, Any]:
+        rng = np.random.RandomState(seed)
+        params: Dict[str, Any] = {}
+        state: Dict[str, Any] = {}
+        masks: Dict[str, Any] = {}
+        if self.use_laynorm_inp:
+            params["ln0"] = layer_norm_params(self.input_dim)
+        if self.use_batchnorm_inp:
+            params["bn0"] = batch_norm_params(self.input_dim)
+            state["bn0"] = batch_norm_state(self.input_dim)
+        cur = self.input_dim
+        for i, out_f in enumerate(self.dnn_lay):
+            # ref init: U(+-sqrt(0.01/(fan_in+fan_out))), zero bias
+            # (neural_networks.py:233-235)
+            params["w%d" % i] = small_uniform_init(rng, out_f, cur)
+            params["b%d" % i] = np.zeros(out_f, np.float32)
+            if self.use_laynorm[i]:
+                params["ln%d" % i] = layer_norm_params(out_f)
+            if self.use_batchnorm[i]:
+                params["bn%d" % i] = batch_norm_params(out_f)
+                state["bn%d" % i] = batch_norm_state(out_f)
+            if self.spec.hcgs:
+                masks["hcgs_w%d" % i] = hcgs_mod.hcgs_mask(
+                    out_f, cur, self.spec.hcgs_block, self.spec.hcgs_sparse, rng=rng)
+            if self.spec.guided_hcgs:
+                masks["ghcgs_w%d" % i] = hcgs_mod.guided_hcgs_mask(
+                    params["w%d" % i], self.spec.hcgs_block,
+                    self.spec.hcgs_sparse, rng=rng)
+            cur = out_f
+        return {"params": params, "state": state, "masks": masks}
+
+    # ------------------------------------------------------------------
+    def apply(self, variables: Dict[str, Any], x, *, train: bool, rng=None):
+        params, state, masks = (variables["params"], variables["state"],
+                                variables["masks"])
+        new_state = dict(state)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if self.use_laynorm_inp:
+            x = layer_norm(params["ln0"], x)
+        if self.use_batchnorm_inp:
+            x, new_state["bn0"] = batch_norm(params["bn0"], state["bn0"], x, train)
+        for i in range(self.N):
+            w = effective_weight(params["w%d" % i], masks, "w%d" % i,
+                                 self.spec, i)
+            xin = maybe_quant_input(x, self.spec)
+            y = xin @ w.T + params["b%d" % i]
+            if self.use_laynorm[i] and not self.use_batchnorm[i]:
+                y = layer_norm(params["ln%d" % i], y)
+            elif self.use_batchnorm[i] and not self.use_laynorm[i]:
+                y, new_state["bn%d" % i] = batch_norm(
+                    params["bn%d" % i], state["bn%d" % i], y, train)
+            elif self.use_batchnorm[i] and self.use_laynorm[i]:
+                y = layer_norm(params["ln%d" % i], y)
+                y, new_state["bn%d" % i] = batch_norm(
+                    params["bn%d" % i], state["bn%d" % i], y, train)
+            y = self._acts[i](y)
+            rng, sub = jax.random.split(rng)
+            x = dropout(y, self.dnn_drop[i], train, sub)
+        return x, new_state
+
+    # ------------------------------------------------------------------
+    def refresh_guided_masks(self, variables, seed: int = 0):
+        """Rebuild guided masks from the current weights
+        (ref apply_ghcgs, neural_networks.py:329-337)."""
+        if not self.spec.guided_hcgs:
+            return variables
+        rng = np.random.RandomState(seed)
+        masks = dict(variables["masks"])
+        for i in range(self.N):
+            masks["ghcgs_w%d" % i] = hcgs_mod.guided_hcgs_mask(
+                np.asarray(variables["params"]["w%d" % i]),
+                self.spec.hcgs_block, self.spec.hcgs_sparse, rng=rng)
+        return {**variables, "masks": masks}
+
+    def refresh_patterns(self, variables, seed: int = 0):
+        """K-means pattern search + mask application per layer
+        (ref: neural_networks.py:339-361)."""
+        if not self.spec.if_pattern:
+            return variables
+        masks = dict(variables["masks"])
+        for i in range(self.N):
+            w = np.asarray(variables["params"]["w%d" % i])
+            pats = pattern_mod.find_top_k_by_kmeans(
+                w, self.spec.pattern_num[min(i, len(self.spec.pattern_num) - 1)],
+                self.spec.pattern_shape,
+                self.spec.pattern_nnz[min(i, len(self.spec.pattern_nnz) - 1)],
+                seed=seed)
+            masks["pattern_w%d" % i] = pattern_mod.apply_patterns(w, pats)
+        return {**variables, "masks": masks}
