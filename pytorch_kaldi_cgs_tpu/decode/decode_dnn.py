@@ -1,0 +1,110 @@
+"""Decode driver — native replacement for ``decode_dnn.sh`` + scoring
+(ref: kaldi_decoding_scripts/decode_dnn.sh, local/score.sh,
+check_res_dec.sh/best_wer.sh).
+
+Given the posterior ark files a forward pass produced, decode each ark
+(one worker per ark, like the reference's one background
+``latgen-faster-mapped`` per chunk, ref: decode_dnn.sh:79-87), score
+against the reference transcriptions, and write ``wer_*`` files plus a
+``scoring_summary`` the orchestrator greps into ``res.res``.
+
+Currently decodes with the batched phone-loop Viterbi (phone-recognition
+tasks, TIMIT-style PER); WFST/HCLG graphs will route to the native
+lattice decoder once it lands.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import glob
+import os
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data import kaldi_io
+from .scoring import read_phone_map, score_sequences
+from .viterbi import PhoneLoopHMM, batched_viterbi_decode
+
+
+def _decode_one_ark(ark_path: str, hmm: PhoneLoopHMM, acwt: float,
+                    batch: int = 16) -> Dict[str, List[int]]:
+    """Decode all utterances of one posterior ark with the batched
+    JAX Viterbi (padded batches)."""
+    entries = list(kaldi_io.read_mat_ark(ark_path))
+    hyps: Dict[str, List[int]] = {}
+    entries.sort(key=lambda kv: kv[1].shape[0])
+    for i in range(0, len(entries), batch):
+        group = entries[i:i + batch]
+        T = max(m.shape[0] for _, m in group)
+        S = group[0][1].shape[1]
+        pad = np.full((len(group), T, S), -1e30, np.float32)
+        lengths = np.zeros(len(group), np.int64)
+        for j, (_, m) in enumerate(group):
+            pad[j, :m.shape[0]] = m
+            lengths[j] = m.shape[0]
+        seqs = batched_viterbi_decode(pad, lengths, hmm, acwt)
+        for (k, _), seq in zip(group, seqs):
+            hyps[k] = seq
+    return hyps
+
+
+def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
+               text_file: str, acwt: float = 0.2,
+               phone_map_file: Optional[str] = None,
+               num_workers: int = 4) -> Dict[str, float]:
+    """Decode every ark matching ``ark_glob``, score, write results.
+
+    Returns the score dict (wer/sub/ins/del/...). Writes
+    ``<out_dir>/hyp.txt``, ``<out_dir>/wer`` and ``scoring_summary``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    hmm = PhoneLoopHMM.from_graph_dir(graph_dir)
+    arks = sorted(glob.glob(ark_glob))
+    if not arks:
+        raise FileNotFoundError("no posterior arks match %s" % ark_glob)
+    hyps: Dict[str, List[int]] = {}
+    with futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+        for part in ex.map(lambda a: _decode_one_ark(a, hmm, acwt), arks):
+            hyps.update(part)
+
+    refs: Dict[str, List[int]] = {}
+    with open(text_file) as f:
+        for line in f:
+            parts = line.split()
+            refs[parts[0]] = [int(t) for t in parts[1:]]
+    refs = {k: v for k, v in refs.items()
+            if k in hyps or any(h.startswith(k) for h in hyps)}
+
+    phone_map = read_phone_map(phone_map_file) if phone_map_file else None
+    result = score_sequences(refs, hyps, phone_map)
+
+    with open(os.path.join(out_dir, "hyp.txt"), "w") as f:
+        for k in sorted(hyps):
+            f.write("%s %s\n" % (k, " ".join(map(str, hyps[k]))))
+    with open(os.path.join(out_dir, "wer"), "w") as f:
+        f.write("%%WER %.2f [ %d / %d, %d ins, %d del, %d sub ]\n" % (
+            result["wer"], result["sub"] + result["ins"] + result["del"],
+            result["n_tokens"], result["ins"], result["del"], result["sub"]))
+    with open(os.path.join(out_dir, "scoring_summary"), "w") as f:
+        f.write("wer=%.4f\nsub=%d\nins=%d\ndel=%d\nn_tokens=%d\n" % (
+            result["wer"], result["sub"], result["ins"], result["del"],
+            result["n_tokens"]))
+    return result
+
+
+def best_wer(decode_dirs: List[str]) -> str:
+    """Pick the best wer line across decode dirs (ref: best_wer.sh:25-40)."""
+    best = None
+    best_line = ""
+    for d in decode_dirs:
+        wf = os.path.join(d, "wer")
+        if not os.path.exists(wf):
+            continue
+        line = open(wf).readline().strip()
+        m = re.search(r"%WER ([\d.]+)", line)
+        if m and (best is None or float(m.group(1)) < best):
+            best = float(m.group(1))
+            best_line = "%s %s" % (line, d)
+    return best_line

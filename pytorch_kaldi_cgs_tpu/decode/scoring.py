@@ -1,0 +1,90 @@
+"""Native WER/PER scoring: Levenshtein alignment with substitution/
+insertion/deletion counts and optional phone mapping (e.g. TIMIT 48→39,
+ref: kaldi_decoding_scripts/local/score.sh:47-60 + sclite). Replaces the
+sclite/hubscr.pl dependency."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def levenshtein(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int, int]:
+    """Returns (substitutions, insertions, deletions, correct) of the
+    minimum-cost alignment."""
+    R, H = len(ref), len(hyp)
+    # dp[i][j] = (cost, S, I, D, C)
+    dp = np.zeros((R + 1, H + 1), dtype=np.int64)
+    for i in range(R + 1):
+        dp[i, 0] = i
+    for j in range(H + 1):
+        dp[0, j] = j
+    for i in range(1, R + 1):
+        for j in range(1, H + 1):
+            sub = dp[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1])
+            dele = dp[i - 1, j] + 1
+            ins = dp[i, j - 1] + 1
+            dp[i, j] = min(sub, dele, ins)
+    # backtrack for S/I/D/C
+    i, j = R, H
+    S = I = D = C = 0
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1]):
+            if ref[i - 1] == hyp[j - 1]:
+                C += 1
+            else:
+                S += 1
+            i, j = i - 1, j - 1
+        elif i > 0 and dp[i, j] == dp[i - 1, j] + 1:
+            D += 1
+            i -= 1
+        else:
+            I += 1
+            j -= 1
+    return S, I, D, C
+
+
+def read_phone_map(path: str) -> Dict[str, str]:
+    """Read a 2-column mapping file (e.g. phones.60-48-39.map usage:
+    col1->col2); lines with a single column map to deletion ('')."""
+    mapping: Dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                mapping[parts[0]] = parts[1]
+            elif len(parts) == 1:
+                mapping[parts[0]] = ""
+    return mapping
+
+
+def apply_phone_map(seq: Sequence, mapping: Optional[Mapping]) -> List:
+    if not mapping:
+        return list(seq)
+    out = []
+    for p in seq:
+        q = mapping.get(p, mapping.get(str(p), p))
+        if q != "":
+            out.append(q)
+    return out
+
+
+def score_sequences(refs: Dict[str, Sequence], hyps: Dict[str, Sequence],
+                    phone_map: Optional[Mapping] = None) -> Dict[str, float]:
+    """Corpus WER/PER. Returns dict with wer, err counts, num tokens.
+    Utterances missing from hyps count as fully deleted (like scoring a
+    failed decode)."""
+    S = I = D = C = N = 0
+    for utt, ref in refs.items():
+        ref_m = apply_phone_map(ref, phone_map)
+        hyp_m = apply_phone_map(hyps.get(utt, []), phone_map)
+        s, i, d, c = levenshtein(ref_m, hyp_m)
+        S += s
+        I += i
+        D += d
+        C += c
+        N += len(ref_m)
+    wer = 100.0 * (S + I + D) / max(N, 1)
+    return {"wer": wer, "sub": S, "ins": I, "del": D, "cor": C, "n_tokens": N,
+            "n_sentences": len(refs)}

@@ -114,10 +114,11 @@ class _RecurrentBase(AcousticModel):
                                         self.spec.hcgsx_sparse, rng=rng)
                 mh = hcgs_mod.hcgs_mask(H, H, self.spec.hcgsh_block,
                                         self.spec.hcgsh_sparse, rng=rng)
+                # independent copies: aliased buffers break jit donation
                 for g in self.gates_x:
-                    masks["hcgs_%s%d" % (g, i)] = mx
+                    masks["hcgs_%s%d" % (g, i)] = mx.copy()
                 for g in self.gates_h:
-                    masks["hcgs_%s%d" % (g, i)] = mh
+                    masks["hcgs_%s%d" % (g, i)] = mh.copy()
             # guided HCGS: per-matrix masks (ref: neural_networks.py:727-806)
             if self.spec.guided_hcgs:
                 for g in self.gates_x:

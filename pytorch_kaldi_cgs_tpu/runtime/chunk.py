@@ -1,0 +1,381 @@
+"""Chunk processor — the TPU-native ``run_nn`` (ref: core.py:24-362).
+
+One call trains/validates/forwards one chunk:
+  * the chunk tensor is loaded by the *previous* call's prefetch thread
+    (double buffering, ref: core.py:98-102);
+  * batches are zero-padded to *bucketed* static lengths so XLA compiles
+    a handful of shapes instead of one per batch; padded frames carry a
+    0 weight in the loss (the reference instead grades padding as class
+    0, ref: core.py:186-196);
+  * train/eval steps are jitted whole-graph functions (all nets, costs,
+    optimizers in one XLA computation);
+  * forward writes prior-normalized log-posteriors per sentence to ark
+    (ref: core.py:238-249);
+  * checkpoints: per-net {model_par(+masks), optimizer_par} with the
+    reference's naming contract (ref: core.py:285-322).
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+import threading
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.experiment import dict_fea_lab_arch, is_sequential
+from ..config.proto import strtobool
+from ..data import kaldi_io
+from ..data.dataset import ChunkData, load_chunk_multi
+from .checkpoint import load_checkpoint, save_checkpoint
+from .graph import NetGraph
+from .optim import make_optimizer, set_learning_rate
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return ((n + step - 1) // step) * step
+
+
+def read_chunk_data(cfg_file: str, fea_only: bool = False) -> ChunkData:
+    """Load the chunk a chunk-config describes (ref read_lab_fea,
+    data_io.py:155-282)."""
+    config = configparser.ConfigParser()
+    config.read(cfg_file)
+    to_do = config["exp"]["to_do"]
+    if to_do == "train":
+        max_seq = int(config["batches"]["max_seq_length_train"])
+    elif to_do == "valid":
+        max_seq = int(config["batches"]["max_seq_length_valid"])
+    else:
+        max_seq = -1  # never split forward sentences (ref: data_io.py:174-175)
+    fea_streams, lab_streams, arch_secs = dict_fea_lab_arch(config)
+    seq_model = is_sequential(config, arch_secs)
+    shuffle = (not seq_model) and to_do != "forward"
+    return load_chunk_multi(fea_streams, lab_streams, max_seq,
+                            fea_only=fea_only, shuffle_frames=shuffle,
+                            seed=int(config["exp"]["seed"]))
+
+
+def _prefetch(cfg_file: str, fea_only: bool, out: List) -> None:
+    try:
+        out.append(read_chunk_data(cfg_file, fea_only))
+    except Exception as e:  # surfaced on join
+        out.append(e)
+
+
+def make_seq_batches(chunk: ChunkData, batch_size: int, train: bool,
+                     rng: np.random.RandomState, bucket: int = 64):
+    """Whole-sentence batches (T, B, C) + frame masks (T, B), padded to
+    bucketed lengths; random leading-zero placement in train mode
+    (ref: core.py:183-200)."""
+    lengths = chunk.seq_lengths
+    n_batches = len(lengths) // batch_size
+    starts = np.concatenate([[0], chunk.end_index[:-1]])
+    C = chunk.data.shape[1]
+    for b in range(n_batches):
+        idx = range(b * batch_size, (b + 1) * batch_size)
+        max_len = _bucket(int(max(lengths[i] for i in idx)), bucket)
+        inp = np.zeros((max_len, batch_size, C), np.float32)
+        mask = np.zeros((max_len, batch_size), np.float32)
+        offsets = []
+        for k, i in enumerate(idx):
+            L = int(lengths[i])
+            lead = rng.randint(0, max_len - L + 1) if train else 0
+            inp[lead:lead + L, k] = chunk.data[starts[i]:starts[i] + L]
+            mask[lead:lead + L, k] = 1.0
+            offsets.append((lead, L))
+        yield inp, mask, offsets, [chunk.names[i] for i in idx]
+
+
+def make_flat_batches(chunk: ChunkData, batch_size: int):
+    """Flat frame batches for non-sequential models (ref: core.py:202-205)."""
+    N = chunk.data.shape[0]
+    for b in range(N // batch_size):
+        yield chunk.data[b * batch_size:(b + 1) * batch_size].astype(np.float32)
+
+
+# Cross-chunk runner cache: the reference rebuilds model+optimizer every
+# chunk (ref: core.py:104-111); rebuilding the jitted step would force a
+# recompile per chunk, so runners are cached by the structural parts of
+# the config (everything except LR, seed, pretrain paths, io paths).
+_RUNNER_CACHE: Dict[Any, "ChunkRunner"] = {}
+
+_NONSTRUCTURAL = {"arch_lr", "arch_pretrain_file", "out_folder", "seed",
+                  "out_info", "cmd"}
+
+
+def _runner_key(config, chunk: ChunkData):
+    parts = [config["exp"]["to_do"], config["model"]["model"]]
+    for sec in sorted(config.sections()):
+        if "architecture" in sec:
+            parts.append((sec, tuple(sorted(
+                (k, v) for k, v in config.items(sec) if k not in _NONSTRUCTURAL))))
+    parts.append(tuple(sorted((n, s.col_start, s.col_end)
+                              for n, s in chunk.fea_streams.items())))
+    parts.append(tuple(sorted((n, s.col) for n, s in chunk.lab_streams.items())))
+    return tuple(parts)
+
+
+class ChunkRunner:
+    """Jitted step builders for one chunk config."""
+
+    def __init__(self, graph: NetGraph, config):
+        self.graph = graph
+        self.config = config
+        self.optimizers = {
+            arch: make_optimizer(dict(config.items(graph.arch_secs[arch])))
+            for arch in graph.nets
+        }
+        self._train_step = None
+        self._eval_step = None
+        self._fwd_step = None
+
+    # ------------------------------------------------------------------
+    def init_opt_states(self, variables):
+        return {arch: self.optimizers[arch].init(variables[arch]["params"])
+                for arch in self.graph.nets}
+
+    # ------------------------------------------------------------------
+    def train_step(self):
+        if self._train_step is None:
+            graph = self.graph
+            optimizers = self.optimizers
+
+            def step(variables, opt_states, inp, mask, rng):
+                params_all = {a: variables[a]["params"] for a in variables}
+
+                def loss_fn(params):
+                    vs = {a: {**variables[a], "params": params[a]}
+                          for a in variables}
+                    outs, new_states = graph.forward(
+                        vs, inp, train=True, rng=rng, frame_mask=mask)
+                    return outs["loss_final"], (outs["err_final"], new_states)
+
+                (loss, (err, new_states)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params_all)
+                new_vars = {}
+                new_opts = {}
+                for a in variables:
+                    if graph.freeze[a]:
+                        new_vars[a] = {**variables[a],
+                                       "state": new_states.get(a, variables[a]["state"])}
+                        new_opts[a] = opt_states[a]
+                        continue
+                    updates, new_opt = optimizers[a].update(
+                        grads[a], opt_states[a], params_all[a])
+                    new_params = optax.apply_updates(params_all[a], updates)
+                    new_vars[a] = {"params": new_params,
+                                   "state": new_states.get(a, variables[a]["state"]),
+                                   "masks": variables[a]["masks"]}
+                    new_opts[a] = new_opt
+                return new_vars, new_opts, loss, err
+
+            self._train_step = jax.jit(step, donate_argnums=(0, 1))
+        return self._train_step
+
+    def eval_step(self):
+        if self._eval_step is None:
+            graph = self.graph
+
+            def step(variables, inp, mask):
+                outs, _ = graph.forward(variables, inp, train=False,
+                                        frame_mask=mask)
+                return outs["loss_final"], outs["err_final"]
+
+            self._eval_step = jax.jit(step)
+        return self._eval_step
+
+    def forward_step(self, forward_outs: List[str]):
+        if self._fwd_step is None:
+            graph = self.graph
+
+            def step(variables, inp):
+                outs, _ = graph.forward(variables, inp, train=False,
+                                        forward_outs=forward_outs)
+                return {o: outs[o] for o in forward_outs}
+
+            self._fwd_step = jax.jit(step)
+        return self._fwd_step
+
+
+def run_nn(chunk: Optional[ChunkData], cfg_file: str,
+           next_cfg_file: Optional[str] = None,
+           variables: Optional[Dict[str, Any]] = None,
+           opt_states: Optional[Dict[str, Any]] = None,
+           if_prune: bool = False,
+           runner_cache: Optional[Dict[str, Any]] = None
+           ) -> Tuple[Optional[ChunkData], Dict[str, Any]]:
+    """Process one chunk; returns (next_chunk_data, info_dict).
+
+    info_dict: {"loss", "err", "elapsed_time_chunk", "variables"}.
+    Mirrors ref core.run_nn's contract: data for the *next* chunk loads
+    on a thread while this chunk computes (ref: core.py:98-102, :347-354).
+    """
+    config = configparser.ConfigParser()
+    config.read(cfg_file)
+    to_do = config["exp"]["to_do"]
+    out_folder = config["exp"]["out_folder"]
+    info_file = config["exp"]["out_info"]
+    seed = int(config["exp"]["seed"])
+    is_production = strtobool(config["exp"].get("production", "False"))
+
+    forward_outs = config["forward"]["forward_out"].split(",")
+    forward_norm = config["forward"]["normalize_with_counts_from"].split(",")
+    forward_norm_bool = [strtobool(v) for v in
+                         config["forward"]["normalize_posteriors"].split(",")]
+    require_decoding = [strtobool(v) for v in
+                        config["forward"]["require_decoding"].split(",")]
+
+    if to_do == "train":
+        batch_size = int(config["batches"]["batch_size_train"])
+    elif to_do == "valid":
+        batch_size = int(config["batches"]["batch_size_valid"])
+    else:
+        batch_size = 1
+
+    fea_only = is_production and to_do == "forward"
+    if chunk is None:
+        chunk = read_chunk_data(cfg_file, fea_only)
+
+    # prefetch next chunk on a host thread
+    shared: List = []
+    prefetch_thread = None
+    if next_cfg_file:
+        nxt_cfg = configparser.ConfigParser()
+        nxt_cfg.read(next_cfg_file)
+        nxt_fea_only = strtobool(nxt_cfg["exp"].get("production", "False")) \
+            and nxt_cfg["exp"]["to_do"] == "forward"
+        prefetch_thread = threading.Thread(
+            target=_prefetch, args=(next_cfg_file, nxt_fea_only, shared))
+        prefetch_thread.start()
+
+    key = _runner_key(config, chunk)
+    if key in _RUNNER_CACHE:
+        runner = _RUNNER_CACHE[key]
+        graph = runner.graph
+    else:
+        graph = NetGraph(config, chunk)
+        runner = ChunkRunner(graph, config)
+        _RUNNER_CACHE[key] = runner
+
+    # init or restore per-net variables + optimizer states
+    if variables is None:
+        variables = graph.init_variables(seed)
+        new_vars = {}
+        for arch in graph.net_order:
+            pt = config[graph.arch_secs[arch]]["arch_pretrain_file"]
+            if pt != "none" and os.path.exists(pt):
+                ckpt = load_checkpoint(pt)
+                new_vars[arch] = ckpt["model_par"]
+                if opt_states is None:
+                    opt_states = {}
+                if "optimizer_par" in ckpt:
+                    opt_states[arch] = ckpt["optimizer_par"]
+            else:
+                new_vars[arch] = variables[arch]
+        variables = new_vars
+    if opt_states is None or len(opt_states) != len(graph.nets):
+        full = runner.init_opt_states(variables)
+        if opt_states:
+            full.update(opt_states)
+        opt_states = full
+    # chunk-config LR overrides restored optimizer LR (ref: core.py:120-121)
+    for arch in graph.net_order:
+        lr = float(config[graph.arch_secs[arch]]["arch_lr"])
+        try:
+            opt_states[arch] = set_learning_rate(opt_states[arch], lr)
+        except (AttributeError, TypeError):
+            pass
+
+    seq_model = any(graph.seq_flags.values())
+    rng_np = np.random.RandomState(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    loss_sum, err_sum, n_batches = 0.0, 0.0, 0
+    start_time = time.time()
+
+    if to_do == "forward":
+        post_files = {}
+        for i, fo in enumerate(forward_outs):
+            sfx = "_%s_to_decode.ark" % fo if require_decoding[i] else "_%s.ark" % fo
+            post_files[fo] = open(info_file.replace(".info", sfx), "wb")
+        counts_log = {}
+        for i, fo in enumerate(forward_outs):
+            if forward_norm_bool[i]:
+                counts = kaldi_io.load_counts(forward_norm[i])
+                counts_log[fo] = np.log(counts / counts.sum())
+        step = runner.forward_step(forward_outs)
+        for inp, mask, offsets, names in make_seq_batches(
+                chunk, 1, False, rng_np, bucket=128):
+            outs = step(variables, jnp.asarray(inp))
+            lead, L = offsets[0]
+            for i, fo in enumerate(forward_outs):
+                arr = np.asarray(outs[fo])
+                if arr.ndim == 3:
+                    arr = arr[:, 0, :]
+                arr = arr[lead:lead + L]
+                if fo in counts_log:
+                    arr = arr - counts_log[fo]
+                kaldi_io.write_mat(post_files[fo], arr, key=names[0])
+            n_batches += 1
+        for f in post_files.values():
+            f.close()
+    elif seq_model:
+        step = runner.train_step() if to_do == "train" else runner.eval_step()
+        for inp, mask, offsets, names in make_seq_batches(
+                chunk, batch_size, to_do == "train", rng_np):
+            rng, sub = jax.random.split(rng)
+            if to_do == "train":
+                variables, opt_states, loss, err = step(
+                    variables, opt_states, jnp.asarray(inp), jnp.asarray(mask), sub)
+            else:
+                loss, err = step(variables, jnp.asarray(inp), jnp.asarray(mask))
+            loss_sum += float(loss)
+            err_sum += float(err)
+            n_batches += 1
+    else:
+        step = runner.train_step() if to_do == "train" else runner.eval_step()
+        for inp in make_flat_batches(chunk, batch_size):
+            rng, sub = jax.random.split(rng)
+            if to_do == "train":
+                variables, opt_states, loss, err = step(
+                    variables, opt_states, jnp.asarray(inp), None, sub)
+            else:
+                loss, err = step(variables, jnp.asarray(inp), None)
+            loss_sum += float(loss)
+            err_sum += float(err)
+            n_batches += 1
+
+    elapsed = time.time() - start_time
+    loss_tot = loss_sum / max(n_batches, 1)
+    err_tot = err_sum / max(n_batches, 1)
+
+    # post-chunk compression refresh + checkpoint (ref: core.py:285-322)
+    if to_do == "train":
+        variables = graph.post_chunk_refresh(variables, if_prune, seed=seed)
+        for arch in graph.net_order:
+            out_file = info_file.replace(".info", "_%s.pkl" % graph.arch_secs[arch])
+            save_checkpoint(out_file, variables[arch], opt_states[arch])
+
+    with open(info_file, "w") as f:
+        f.write("[results]\n")
+        if to_do != "forward":
+            f.write("loss=%f\n" % loss_tot)
+            f.write("err=%f\n" % err_tot)
+        f.write("elapsed_time_chunk=%f\n" % elapsed)
+
+    next_chunk = None
+    if prefetch_thread is not None:
+        prefetch_thread.join()
+        if shared and isinstance(shared[0], Exception):
+            raise shared[0]
+        next_chunk = shared[0] if shared else None
+
+    return next_chunk, {"loss": loss_tot, "err": err_tot,
+                        "elapsed_time_chunk": elapsed,
+                        "variables": variables, "opt_states": opt_states}

@@ -22,8 +22,8 @@ dnn_lay = {hidden},{hidden},N_out_lab_cd
 dnn_drop = 0.1,0.1,0.0
 dnn_use_laynorm_inp = False
 dnn_use_batchnorm_inp = False
-dnn_use_batchnorm = True,True,False
-dnn_use_laynorm = False,False,False
+dnn_use_batchnorm = False,False,False
+dnn_use_laynorm = True,True,False
 dnn_act = relu,relu,softmax
 """,
     "LSTM": """\

@@ -1,0 +1,157 @@
+"""Runtime tests: optimizers, graph executor, chunk training, and the
+full end-to-end experiment (train → valid → forward → decode → PER) on
+the synthetic miniature dataset."""
+import configparser
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_kaldi_cgs_tpu.data import synth
+from pytorch_kaldi_cgs_tpu.runtime import optim as O
+from pytorch_kaldi_cgs_tpu.utils import make_synth_cfg
+
+
+def test_torch_sgd_momentum():
+    tx = O.make_optimizer({"arch_opt": "sgd", "arch_lr": "0.1",
+                           "opt_momentum": "0.9", "opt_weight_decay": "0",
+                           "opt_dampening": "0", "opt_nesterov": "False"})
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    upd, state = tx.update(g, state, params)
+    np.testing.assert_allclose(np.array(upd["w"]), -0.1, rtol=1e-6)
+    upd, state = tx.update(g, state, params)
+    # second step: buf = 0.9*1 + 1 = 1.9 -> update -0.19
+    np.testing.assert_allclose(np.array(upd["w"]), -0.19, rtol=1e-6)
+
+
+def test_torch_rmsprop_matches_reference_rule():
+    tx = O.make_optimizer({"arch_opt": "rmsprop", "arch_lr": "1.0",
+                           "opt_momentum": "0.0", "opt_alpha": "0.5",
+                           "opt_eps": "1e-8", "opt_centered": "False",
+                           "opt_weight_decay": "0"})
+    params = {"w": jnp.zeros(1)}
+    state = tx.init(params)
+    g = {"w": jnp.array([2.0])}
+    upd, state = tx.update(g, state, params)
+    # sq = 0.5*0 + 0.5*4 = 2 ; update = -lr * 2/(sqrt(2)+eps)
+    np.testing.assert_allclose(np.array(upd["w"]), [-2 / np.sqrt(2)], rtol=1e-5)
+
+
+def test_set_learning_rate():
+    tx = O.make_optimizer({"arch_opt": "sgd", "arch_lr": "0.5",
+                           "opt_momentum": "0", "opt_weight_decay": "0",
+                           "opt_dampening": "0", "opt_nesterov": "False"})
+    params = {"w": jnp.ones(2)}
+    state = tx.init(params)
+    state = O.set_learning_rate(state, 0.25)
+    upd, _ = tx.update({"w": jnp.ones(2)}, state, params)
+    np.testing.assert_allclose(np.array(upd["w"]), -0.25, rtol=1e-6)
+
+
+def test_adam_runs():
+    tx = O.make_optimizer({"arch_opt": "adam", "arch_lr": "0.001",
+                           "opt_betas": "0.9,0.999", "opt_eps": "1e-8",
+                           "opt_weight_decay": "0.01", "opt_amsgrad": "False"})
+    params = {"w": jnp.ones(4)}
+    state = tx.init(params)
+    upd, state = tx.update({"w": jnp.ones(4)}, state, params)
+    assert np.all(np.array(upd["w"]) < 0)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    root = str(tmp / "data")
+    synth.generate(root, synth.SynthSpec(
+        num_utts=24, num_phones=6, states_per_phone=2, feat_dim=8,
+        min_len=40, max_len=90, noise=0.4, seed=7))
+    return tmp, root
+
+
+def test_end_to_end_mlp(synth_root):
+    """The round-1 milestone: full experiment (L1,L2,L3,L4,L5,L7,L8) on
+    one device — MLP acoustic model, cost_nll+cost_err, forward with
+    prior normalization into ark, phone-loop Viterbi decode, PER."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_mlp")
+    cfg = make_synth_cfg(str(tmp / "mlp.cfg"), root, out_folder,
+                         model="MLP", hidden=48, n_epochs=2, n_chunks=2,
+                         batch_size=128, lr=0.06, cw=1)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+
+    # res.res written with epoch lines
+    res = open(results["res_file"]).read()
+    assert "ep=0" in res and "ep=1" in res
+
+    # training error decreased vs chance (11/12 ≈ 0.92 for 12 pdfs)
+    infos = sorted(glob.glob(os.path.join(out_folder, "exp_files",
+                                          "train_*ep1*.info")))
+    c = configparser.ConfigParser()
+    c.read(infos[-1])
+    assert float(c["results"]["err"]) < 0.5
+
+    # forward arks exist and decode produced a finite PER
+    arks = glob.glob(os.path.join(out_folder, "exp_files",
+                                  "forward_*_to_decode.ark"))
+    assert arks
+    wer_key = [k for k in results if k.startswith("wer_")]
+    assert wer_key, "decoding did not run"
+    per = results[wer_key[0]]
+    assert 0 <= per < 60.0  # learnable synthetic task: PER well under chance
+
+    # final checkpoint for production exists
+    assert os.path.exists(os.path.join(out_folder, "exp_files",
+                                       "final_architecture1.pkl"))
+
+
+def test_end_to_end_resume(synth_root):
+    """Interrupting and rerunning must skip completed chunks (the .info
+    resume contract, ref: run_exp.py:189)."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_mlp")  # same folder as previous test
+    cfg = str(tmp / "mlp.cfg")
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    # all .info files exist -> rerun touches nothing but still reports
+    before = sorted(glob.glob(os.path.join(out_folder, "exp_files", "*.info")))
+    mtimes = {p: os.path.getmtime(p) for p in before}
+    results = run_exp(cfg)
+    after = {p: os.path.getmtime(p) for p in before}
+    assert mtimes == after
+
+
+def test_end_to_end_lstm_hcgs(synth_root):
+    """Sequential path: LSTM+HCGS+quantization trains end to end."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_lstm")
+    cfg = make_synth_cfg(str(tmp / "lstm.cfg"), root, out_folder,
+                         model="LSTM", hidden=32, n_epochs=1, n_chunks=2,
+                         batch_size=4, lr=0.01, opt="rmsprop", cw=0,
+                         hcgs=True, hcgs_block="8,2", hcgs_sparse="25,50",
+                         quant=True, param_quant="8,8")
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    infos = sorted(glob.glob(os.path.join(out_folder, "exp_files",
+                                          "train_*.info")))
+    assert infos
+    c = configparser.ConfigParser()
+    c.read(infos[-1])
+    assert float(c["results"]["err"]) < 0.95
+    # HCGS masks persisted in the checkpoint
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    pkls = glob.glob(os.path.join(out_folder, "exp_files", "train_*ck1*.pkl"))
+    found_mask = False
+    for p in pkls:
+        ck = load_checkpoint(p)
+        if any(k.startswith("hcgs_") for k in ck["model_par"].get("masks", {})):
+            found_mask = True
+    assert found_mask
