@@ -1,0 +1,95 @@
+"""Benchmark: flagship acoustic-model training throughput on one chip.
+
+Model: the CGS headline configuration — 2x512 LSTM with 2-level HCGS
+block sparsity (128/4 blocks, 25/62.5% drop) + 8-bit weight
+quantization, MLP softmax head with 1944 senone outputs, TIMIT-shaped
+inputs (143-dim fMLLR-like features, ref
+cfg/TIMIT_CGS/TIMIT_LSTM_fmllr_hcgs.cfg). Measures full training steps
+(forward + backward + optimizer) in frames/second.
+
+Baseline: the reference reports ~87 s/epoch for TIMIT training on its
+GPU (ref README.md:171-181); TIMIT train is ~1.12M frames, giving
+~12.9k frames/s — and that number is for the *cheaper* MLP; the LSTM
+configs are slower. vs_baseline = ours / 12900.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from __graft_entry__ import _flagship
+    from pytorch_kaldi_cgs_tpu.runtime.optim import make_optimizer
+
+    T, B = 300, 16
+    FEAT, NOUT = 143, 1944
+    lstm, mlp = _flagship(hidden=512, feat_dim=FEAT, n_out=NOUT, hcgs=True)
+    variables = {"lstm": lstm.init(0), "mlp": mlp.init(1)}
+    tx = make_optimizer({"arch_opt": "rmsprop", "arch_lr": "0.0016",
+                         "opt_momentum": "0", "opt_alpha": "0.95",
+                         "opt_eps": "1e-8", "opt_centered": "False",
+                         "opt_weight_decay": "0"})
+    params0 = {"lstm": variables["lstm"]["params"],
+               "mlp": variables["mlp"]["params"]}
+    opt_state = tx.init(params0)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(T, B, FEAT), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, NOUT, (T, B)), jnp.int32)
+
+    @jax.jit
+    def train_step(variables, opt_state, x, labels, key):
+        params = {"lstm": variables["lstm"]["params"],
+                  "mlp": variables["mlp"]["params"]}
+
+        def loss_fn(params):
+            vl = {**variables["lstm"], "params": params["lstm"]}
+            vm = {**variables["mlp"], "params": params["mlp"]}
+            h, st_l = lstm.apply(vl, x, train=True, rng=key)
+            TT, BB, H = h.shape
+            y, st_m = mlp.apply(vm, h.reshape(TT * BB, H), train=True, rng=key)
+            nll = -jnp.take_along_axis(y, labels.reshape(-1)[:, None], axis=1)
+            return jnp.mean(nll), (st_l, st_m)
+
+        (loss, (st_l, st_m)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return ({"lstm": {"params": new_params["lstm"], "state": st_l,
+                          "masks": variables["lstm"]["masks"]},
+                 "mlp": {"params": new_params["mlp"], "state": st_m,
+                         "masks": variables["mlp"]["masks"]}},
+                opt_state, loss)
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    variables, opt_state, loss = train_step(variables, opt_state, x, labels, key)
+    loss.block_until_ready()
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        variables, opt_state, loss = train_step(variables, opt_state, x,
+                                                labels, key)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames_per_s = n_steps * T * B / dt
+    baseline = 12900.0  # ref ~87 s/epoch TIMIT (1.12M frames), MLP on GPU
+    print(json.dumps({
+        "metric": "lstm_hcgs_train_frames_per_sec",
+        "value": round(frames_per_s, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
