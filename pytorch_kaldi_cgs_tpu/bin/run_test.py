@@ -1,0 +1,86 @@
+"""Test-only entry with optional post-training pattern pruning
+(ref: run_test.py:31-376).
+
+Loads the experiment's ``final_*.pkl`` checkpoints, and when the config
+has a ``[pattern]`` section with ``pattern_prun=True`` applies per-block
+top-nnz ("certain-nnz") pattern pruning to every weight matrix
+(ref: run_test.py:205-206 → pattern_search.py:17 →
+sparsity.find_pattern_certain_nnz_model), saves the pruned model as
+``*_{num}_{RxC}_{nnz}_pattern.pkl`` (ref: run_test.py:208-216), then
+runs forward + decode.
+
+usage: python -m pytorch_kaldi_cgs_tpu.bin.run_test <cfg> [overrides...]
+"""
+
+from __future__ import annotations
+
+import configparser
+import glob
+import os
+import sys
+
+import numpy as np
+
+from ..config.proto import strtobool
+from ..sparsity.pattern import coo_mask
+from ..runtime.checkpoint import load_checkpoint, save_checkpoint
+
+
+def pattern_prune_variables(variables, pattern_shape, pattern_nnz):
+    """Per-block top-nnz masks over every >=2D weight (the post-training
+    'coo' prune of the reference's pattern search)."""
+    params = dict(variables["params"])
+    masks = dict(variables.get("masks", {}))
+    for k, w in params.items():
+        arr = np.asarray(w)
+        if arr.ndim != 2:
+            continue
+        if arr.shape[0] % pattern_shape[0] or arr.shape[1] % pattern_shape[1]:
+            continue
+        m = coo_mask(arr, pattern_shape, pattern_nnz)
+        params[k] = arr * m
+        masks["pattern_" + k] = m
+    return {**variables, "params": params, "masks": masks}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 2
+    cfg_file = argv[0]
+    config = configparser.ConfigParser()
+    config.read(cfg_file)
+    out_folder = config["exp"]["out_folder"]
+
+    # pattern-prune final checkpoints if requested
+    if config.has_section("pattern") and strtobool(config["pattern"]["pattern_prun"]):
+        pattern_num = int(config["pattern"]["pattern_num"])
+        pattern_shape = [int(v) for v in config["pattern"]["pattern_shape"].split(",")]
+        pattern_nnz = int(config["pattern"]["pattern_nnz"])
+        for pkl in sorted(glob.glob(os.path.join(out_folder, "exp_files",
+                                                 "final_*.pkl"))):
+            ckpt = load_checkpoint(pkl)
+            pruned = pattern_prune_variables(ckpt["model_par"],
+                                             pattern_shape, pattern_nnz)
+            out_pkl = pkl.replace(".pkl", "_%d_%dx%d_%d_pattern.pkl" % (
+                pattern_num, pattern_shape[0], pattern_shape[1], pattern_nnz))
+            save_checkpoint(out_pkl, pruned, ckpt.get("optimizer_par"))
+            # point the run at the pruned model
+            base = os.path.basename(pkl)[len("final_"):-len(".pkl")]
+            for sec in config.sections():
+                if "architecture" in sec and sec == base:
+                    config[sec]["arch_pretrain_file"] = out_pkl
+            print("pattern-pruned checkpoint: %s" % out_pkl)
+
+    # run forward + decoding through the standard orchestrator: all train
+    # .info markers exist after training, so run_exp skips to forward
+    from ..runtime.experiment import run_exp
+    results = run_exp(cfg_file, overrides=argv[1:])
+    for k, v in results.items():
+        print("%s: %s" % (k, v))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

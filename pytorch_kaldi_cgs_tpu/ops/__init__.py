@@ -1,0 +1,3 @@
+from .block_sparse import (BlockLayout, pack_layout, pack_blocks,
+                           unpack_blocks, block_sparse_matmul,
+                           block_sparse_matmul_xla)

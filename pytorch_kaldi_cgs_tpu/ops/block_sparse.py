@@ -1,0 +1,349 @@
+"""Block-sparse matmul for HCGS weights — the TPU payoff of coarse-grain
+sparsity.
+
+The reference multiplies dense weights by 0/1 masks every forward
+(ref: neural_networks.py:258, :853-896): dropped blocks still burn full
+matmul FLOPs. HCGS level-1 blocks are 64/128-square — exactly MXU tile
+granularity — and HCGS keeps the *same number of blocks in every block
+row* (``round(n_blk_cols * keep)``, ref: hcgs.py:26), so the kept blocks
+form a regular (N_blk_rows x R) structure. This module stores the weight
+as the packed (nnz, bs, bs) array of kept blocks plus index arrays and
+computes
+
+    y[M,N] = x[M,K] @ w_dense.T      (w_dense = scatter of packed blocks)
+
+as a Pallas kernel whose grid enumerates only kept blocks: compute and
+HBM traffic drop by the block-level density (e.g. 4x for 75% dropped
+blocks) instead of multiplying zeros.
+
+Custom VJP: dx uses a padded transpose (CSC) layout of the same packed
+blocks; dw accumulates per-kept-block outer products — dropped blocks
+never materialize gradients.
+
+Level-2 sub-block masks (the 4x4/8x8 fine masks inside kept blocks) stay
+elementwise: multiply them into the packed blocks *before* the kernel
+(one cheap fused elementwise op over nnz*bs*bs elements).
+
+All kernels also run under ``interpret=True`` so the CPU test mesh
+exercises them; :func:`block_sparse_matmul_xla` is the pure-XLA
+reference/fallback (used when bs is not MXU-aligned).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# layout packing (host side, static per mask)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True, eq=False)   # identity hash: reuse layout objects
+class BlockLayout:
+    """Static index structure of one HCGS mask at block size ``bs``.
+
+    For w of shape (N, K) with Nb x Kb block grid and R kept blocks per
+    block-row:
+      col_idx[j*R + k]  : in-block column of the k-th kept block of row j
+      (transposed, padded to C = max blocks per column, with one zero
+       block appended at packed position nnz)
+      t_row_idx[c*C + k]: out-block row of the k-th block in column c
+      t_perm[c*C + k]   : its packed position (nnz => zero pad block)
+    """
+    N: int
+    K: int
+    bs: int
+    R: int
+    C: int
+    nnz: int
+    col_idx: np.ndarray      # (Nb*R,) int32
+    t_row_idx: np.ndarray    # (Kb*C,) int32
+    t_perm: np.ndarray       # (Kb*C,) int32
+    rows: np.ndarray         # (nnz,) out-block row per packed block
+    cols: np.ndarray         # (nnz,) in-block col per packed block
+
+    @property
+    def Nb(self) -> int:
+        return self.N // self.bs
+
+    @property
+    def Kb(self) -> int:
+        return self.K // self.bs
+
+    def density(self) -> float:
+        return self.nnz / (self.Nb * self.Kb)
+
+
+def pack_layout(mask: np.ndarray, bs: int) -> BlockLayout:
+    """Build the BlockLayout from a 0/1 mask (N, K). Requires equal kept
+    count per block-row (guaranteed by HCGS generation)."""
+    N, K = mask.shape
+    if N % bs or K % bs:
+        raise ValueError("mask %s not divisible by block %d" % (mask.shape, bs))
+    Nb, Kb = N // bs, K // bs
+    occ = mask.reshape(Nb, bs, Kb, bs).transpose(0, 2, 1, 3).any(axis=(2, 3))
+    counts = occ.sum(axis=1)
+    R = int(counts.max()) if counts.size else 0
+    if not np.all(counts == R):
+        raise ValueError("HCGS layout requires equal kept blocks per row, "
+                         "got %s" % np.unique(counts))
+    rows_l, cols_l = [], []
+    col_idx = np.zeros(Nb * R, np.int32)
+    for j in range(Nb):
+        cs = np.where(occ[j])[0]
+        col_idx[j * R:(j + 1) * R] = cs
+        rows_l.extend([j] * R)
+        cols_l.extend(cs.tolist())
+    rows = np.asarray(rows_l, np.int32)
+    cols = np.asarray(cols_l, np.int32)
+    nnz = Nb * R
+    # transposed (per in-block column) with padding
+    percol = [[] for _ in range(Kb)]
+    for p in range(nnz):
+        percol[cols[p]].append(p)
+    C = max((len(v) for v in percol), default=0)
+    C = max(C, 1)
+    t_row_idx = np.zeros(Kb * C, np.int32)
+    t_perm = np.full(Kb * C, nnz, np.int32)  # nnz => zero pad block
+    for c in range(Kb):
+        for k, p in enumerate(percol[c]):
+            t_row_idx[c * C + k] = rows[p]
+            t_perm[c * C + k] = p
+    return BlockLayout(N=N, K=K, bs=bs, R=R, C=C, nnz=nnz, col_idx=col_idx,
+                       t_row_idx=t_row_idx, t_perm=t_perm, rows=rows, cols=cols)
+
+
+def pack_blocks(w: np.ndarray, layout: BlockLayout) -> np.ndarray:
+    """Gather dense (N,K) into packed (nnz, bs, bs)."""
+    bs = layout.bs
+    out = np.zeros((layout.nnz, bs, bs), w.dtype)
+    for p in range(layout.nnz):
+        r, c = layout.rows[p], layout.cols[p]
+        out[p] = w[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs]
+    return out
+
+
+def unpack_blocks(w_packed: np.ndarray, layout: BlockLayout) -> np.ndarray:
+    bs = layout.bs
+    out = np.zeros((layout.N, layout.K), np.asarray(w_packed).dtype)
+    for p in range(layout.nnz):
+        r, c = layout.rows[p], layout.cols[p]
+        out[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs] = w_packed[p]
+    return out
+
+
+def pack_submasks(mask: np.ndarray, layout: BlockLayout) -> np.ndarray:
+    """Level-2 fine masks inside kept blocks, packed like the weights."""
+    return pack_blocks(mask.astype(np.float32), layout)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference / fallback
+# ---------------------------------------------------------------------------
+
+def block_sparse_matmul_xla(x: jnp.ndarray, w_packed: jnp.ndarray,
+                            layout: BlockLayout) -> jnp.ndarray:
+    """Gather/einsum implementation — correct for any bs; used as the
+    numerical reference and as fallback off the MXU-aligned path."""
+    bs = layout.bs
+    M = x.shape[0]
+    xb = x.reshape(M, layout.Kb, bs)
+    # per packed block: y_rows[p] = x[:, col_p] @ w_p.T
+    xg = xb[:, layout.cols, :]                      # (M, nnz, bs)
+    yb = jnp.einsum("mpk,pnk->mpn", xg, w_packed)   # (M, nnz, bs)
+    # sum blocks of the same out-row: segment over rows
+    y = jax.ops.segment_sum(yb.transpose(1, 0, 2),
+                            jnp.asarray(layout.rows),
+                            num_segments=layout.Nb)  # (Nb, M, bs)
+    return y.transpose(1, 0, 2).reshape(M, layout.N)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _make_fwd(layout: BlockLayout, TILE_M: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bs, R, Nb = layout.bs, layout.R, layout.Nb
+
+    def kernel(col_idx_ref, x_ref, w_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], w_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(k == R - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(x, w_packed):
+        M = x.shape[0]
+        grid = (M // TILE_M, Nb, R)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((TILE_M, bs),
+                                 lambda i, j, k, ci: (i, ci[j * R + k])),
+                    pl.BlockSpec((1, bs, bs),
+                                 lambda i, j, k, ci: (j * R + k, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((TILE_M, bs),
+                                       lambda i, j, k, ci: (i, j)),
+                scratch_shapes=[pltpu.VMEM((TILE_M, bs), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((M, layout.N), x.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * layout.nnz * bs * bs,
+                bytes_accessed=(M * layout.K + layout.nnz * bs * bs
+                                + M * layout.N) * 4,
+                transcendentals=0),
+        )(jnp.asarray(layout.col_idx), x, w_packed)
+
+    return call
+
+
+def _make_dx(layout: BlockLayout, TILE_M: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bs, C, Kb = layout.bs, layout.C, layout.Kb
+
+    def kernel(t_row_ref, t_perm_ref, g_ref, w_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            g_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(k == C - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(g, w_packed_padded):
+        M = g.shape[0]
+        grid = (M // TILE_M, Kb, C)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((TILE_M, bs),
+                                 lambda i, c, k, tr, tp: (i, tr[c * C + k])),
+                    pl.BlockSpec((1, bs, bs),
+                                 lambda i, c, k, tr, tp: (tp[c * C + k], 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((TILE_M, bs),
+                                       lambda i, c, k, tr, tp: (i, c)),
+                scratch_shapes=[pltpu.VMEM((TILE_M, bs), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((M, layout.K), g.dtype),
+            interpret=interpret,
+        )(jnp.asarray(layout.t_row_idx), jnp.asarray(layout.t_perm),
+          g, w_packed_padded)
+
+    return call
+
+
+def _make_dw(layout: BlockLayout, TILE_M: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bs = layout.bs
+
+    def kernel(rows_ref, cols_ref, g_ref, x_ref, o_ref, acc_ref):
+        m = pl.program_id(1)
+        n_m = pl.num_programs(1)
+
+        @pl.when(m == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            g_ref[...], x_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(m == n_m - 1)
+        def _():
+            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(g, x):
+        M = g.shape[0]
+        grid = (layout.nnz, M // TILE_M)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((TILE_M, bs),
+                                 lambda p, m, rw, cl: (m, rw[p])),
+                    pl.BlockSpec((TILE_M, bs),
+                                 lambda p, m, rw, cl: (m, cl[p])),
+                ],
+                out_specs=pl.BlockSpec((1, bs, bs),
+                                       lambda p, m, rw, cl: (p, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((layout.nnz, bs, bs), g.dtype),
+            interpret=interpret,
+        )(jnp.asarray(layout.rows), jnp.asarray(layout.cols), g, x)
+
+    return call
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ops(layout: BlockLayout, TILE_M: int, interpret: bool):
+    return (_make_fwd(layout, TILE_M, interpret),
+            _make_dx(layout, TILE_M, interpret),
+            _make_dw(layout, TILE_M, interpret))
+
+
+def block_sparse_matmul(x: jnp.ndarray, w_packed: jnp.ndarray,
+                        layout: BlockLayout, tile_m: int = 256,
+                        interpret: bool = False) -> jnp.ndarray:
+    """y = x @ scatter(w_packed).T via Pallas, differentiable.
+
+    x: (M, K) with M padded to tile_m; w_packed: (nnz, bs, bs).
+    """
+    M = x.shape[0]
+    tile_m = min(tile_m, M)
+    if M % tile_m:
+        raise ValueError("M=%d not divisible by tile_m=%d" % (M, tile_m))
+    fwd, dxk, dwk = _build_ops(layout, tile_m, interpret)
+
+    @jax.custom_vjp
+    def _op(x, w_packed):
+        return fwd(x, w_packed)
+
+    def _fwd(x, w_packed):
+        return fwd(x, w_packed), (x, w_packed)
+
+    def _bwd(res, g):
+        x, w_packed = res
+        pad = jnp.zeros((1,) + w_packed.shape[1:], w_packed.dtype)
+        w_pad = jnp.concatenate([w_packed, pad], axis=0)
+        dx = dxk(g, w_pad)
+        dw = dwk(g, x)
+        return dx, dw
+
+    _op.defvjp(_fwd, _bwd)
+    return _op(x, w_packed)

@@ -1,0 +1,96 @@
+"""Block-sparse matmul: layout packing, XLA reference, Pallas kernels
+(interpret mode on CPU), gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_kaldi_cgs_tpu.ops import block_sparse as B
+from pytorch_kaldi_cgs_tpu.sparsity import hcgs_mask
+
+
+BS = 8  # small block for CPU tests; TPU path uses 128
+
+
+@pytest.fixture(scope="module")
+def layout_and_w():
+    mask = hcgs_mask(32, 48, [BS], [50], seed=0)     # keep 3 of 6 per row
+    layout = B.pack_layout(mask, BS)
+    rng = np.random.RandomState(0)
+    w = rng.randn(32, 48).astype(np.float32) * mask
+    wp = B.pack_blocks(w, layout)
+    return mask, layout, w, wp
+
+
+def test_pack_unpack_roundtrip(layout_and_w):
+    mask, layout, w, wp = layout_and_w
+    assert layout.R == 3 and layout.nnz == 4 * 3
+    np.testing.assert_allclose(B.unpack_blocks(wp, layout), w)
+
+
+def test_pack_rejects_unequal_rows():
+    m = np.zeros((16, 16), np.float32)
+    m[:8, :8] = 1          # row 0 has 1 block, row 1 has 0
+    with pytest.raises(ValueError):
+        B.pack_layout(m, 8)
+
+
+def test_xla_reference_matches_dense(layout_and_w):
+    mask, layout, w, wp = layout_and_w
+    x = np.random.RandomState(1).randn(16, 48).astype(np.float32)
+    y_ref = x @ w.T
+    y = B.block_sparse_matmul_xla(jnp.asarray(x), jnp.asarray(wp), layout)
+    np.testing.assert_allclose(np.array(y), y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_forward_interpret(layout_and_w):
+    mask, layout, w, wp = layout_and_w
+    x = np.random.RandomState(2).randn(16, 48).astype(np.float32)
+    y = B.block_sparse_matmul(jnp.asarray(x), jnp.asarray(wp), layout,
+                              tile_m=8, interpret=True)
+    np.testing.assert_allclose(np.array(y), x @ w.T, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_grads_interpret(layout_and_w):
+    mask, layout, w, wp = layout_and_w
+    x = jnp.asarray(np.random.RandomState(3).randn(16, 48).astype(np.float32))
+    wp = jnp.asarray(wp)
+    g_out = np.random.RandomState(4).randn(16, 32).astype(np.float32)
+
+    def f(x, wp):
+        y = B.block_sparse_matmul(x, wp, layout, tile_m=8, interpret=True)
+        return jnp.sum(y * jnp.asarray(g_out))
+
+    dx, dwp = jax.grad(f, argnums=(0, 1))(x, wp)
+    # dense reference
+    w_d = jnp.asarray(w)
+
+    def f_ref(x, w_d):
+        return jnp.sum((x @ w_d.T) * jnp.asarray(g_out))
+
+    dx_ref, dw_ref = jax.grad(f_ref, argnums=(0, 1))(x, w_d)
+    np.testing.assert_allclose(np.array(dx), np.array(dx_ref), rtol=1e-4,
+                               atol=1e-4)
+    dw_unpacked = B.unpack_blocks(np.array(dwp), layout)
+    # gradient only lives on kept blocks
+    np.testing.assert_allclose(dw_unpacked, np.array(dw_ref) * mask,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_two_level_submask(layout_and_w):
+    """Level-2 fine mask multiplied into packed blocks before the kernel."""
+    mask1, layout, w, wp = layout_and_w
+    fine = hcgs_mask(32, 48, [BS, 2], [50, 50], seed=0)  # same level-1 seed
+    sub = B.pack_submasks(fine, layout)
+    x = np.random.RandomState(5).randn(8, 48).astype(np.float32)
+    wp_masked = jnp.asarray(wp) * jnp.asarray(sub)
+    y = B.block_sparse_matmul(jnp.asarray(x), wp_masked, layout,
+                              tile_m=8, interpret=True)
+    w_masked = B.unpack_blocks(np.array(wp_masked), layout)
+    np.testing.assert_allclose(np.array(y), x @ w_masked.T, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_density_accounting(layout_and_w):
+    _, layout, _, _ = layout_and_w
+    assert layout.density() == pytest.approx(0.5)
