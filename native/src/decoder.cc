@@ -1,0 +1,235 @@
+#include "decoder.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+struct Arc {
+  int32_t dst;
+  int32_t ilabel;  // pdf + 1; 0 = epsilon
+  int32_t olabel;
+  float cost;      // graph cost (-log prob)
+};
+
+}  // namespace
+
+struct PkcFst {
+  int32_t start = 0;
+  int64_t num_arcs = 0;
+  std::vector<double> final_cost;          // per state; inf = non-final
+  std::vector<int64_t> arc_offset;         // CSR over states
+  std::vector<Arc> arcs;
+};
+
+extern "C" {
+
+PkcFst* pkc_fst_load_text(const char* path) {
+  FILE* f = fopen(path, "r");
+  if (!f) return nullptr;
+  struct RawArc { int32_t s, d, il, ol; float c; };
+  std::vector<RawArc> raw;
+  std::vector<std::pair<int32_t, double>> finals;
+  int32_t max_state = -1;
+  int32_t start = -1;
+  char line[512];
+  while (fgets(line, sizeof(line), f)) {
+    double a, b, c, d, e;
+    int n = sscanf(line, "%lf %lf %lf %lf %lf", &a, &b, &c, &d, &e);
+    if (n >= 4) {
+      RawArc ra{(int32_t)a, (int32_t)b, (int32_t)c, (int32_t)d,
+                n == 5 ? (float)e : 0.0f};
+      raw.push_back(ra);
+      max_state = std::max(max_state, std::max(ra.s, ra.d));
+      if (start < 0) start = ra.s;  // first mentioned state is the start
+    } else if (n >= 1) {
+      finals.emplace_back((int32_t)a, n >= 2 ? b : 0.0);
+      max_state = std::max(max_state, (int32_t)a);
+      if (start < 0) start = (int32_t)a;
+    }
+  }
+  fclose(f);
+  if (max_state < 0) return nullptr;
+  auto* fst = new PkcFst();
+  fst->start = start;
+  const int64_t S = max_state + 1;
+  fst->final_cost.assign(S, kInf);
+  for (auto& p : finals) fst->final_cost[p.first] = p.second;
+  // CSR
+  std::vector<int64_t> counts(S + 1, 0);
+  for (auto& ra : raw) counts[ra.s + 1]++;
+  for (int64_t i = 0; i < S; ++i) counts[i + 1] += counts[i];
+  fst->arc_offset = counts;
+  fst->arcs.resize(raw.size());
+  std::vector<int64_t> cursor(fst->arc_offset.begin(),
+                              fst->arc_offset.end() - 1);
+  for (auto& ra : raw) {
+    fst->arcs[cursor[ra.s]++] = Arc{ra.d, ra.il, ra.ol, ra.c};
+  }
+  fst->num_arcs = (int64_t)raw.size();
+  return fst;
+}
+
+void pkc_fst_free(PkcFst* fst) { delete fst; }
+int64_t pkc_fst_num_states(const PkcFst* fst) {
+  return (int64_t)fst->final_cost.size();
+}
+int64_t pkc_fst_num_arcs(const PkcFst* fst) { return fst->num_arcs; }
+
+namespace {
+
+// Backtrace arena entry.
+struct Trace {
+  int64_t prev;
+  int32_t olabel;
+};
+
+struct Token {
+  double cost;
+  int64_t trace;  // index into arena, -1 = none
+};
+
+using TokenMap = std::unordered_map<int32_t, Token>;
+
+// Epsilon-closure propagation within the current frame.
+void PropagateEpsilon(const PkcFst* fst, TokenMap* toks,
+                      std::vector<Trace>* arena, double cutoff) {
+  // simple work-list; WFST graphs after composition are mostly eps-free,
+  // phone-loop graphs have a handful of eps arcs.
+  std::vector<int32_t> work;
+  work.reserve(toks->size());
+  for (auto& kv : *toks) work.push_back(kv.first);
+  while (!work.empty()) {
+    int32_t s = work.back();
+    work.pop_back();
+    auto it = toks->find(s);
+    if (it == toks->end()) continue;
+    const Token tok = it->second;
+    if (tok.cost > cutoff) continue;
+    for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
+      const Arc& arc = fst->arcs[a];
+      if (arc.ilabel != 0) continue;
+      double nc = tok.cost + arc.cost;
+      if (nc > cutoff) continue;
+      auto dit = toks->find(arc.dst);
+      if (dit == toks->end() || nc < dit->second.cost) {
+        int64_t tr = tok.trace;
+        if (arc.olabel != 0) {
+          arena->push_back(Trace{tok.trace, arc.olabel});
+          tr = (int64_t)arena->size() - 1;
+        }
+        (*toks)[arc.dst] = Token{nc, tr};
+        work.push_back(arc.dst);
+      }
+    }
+  }
+}
+
+double AdaptiveCutoff(const TokenMap& toks, double beam, int64_t max_active,
+                      double* best_out) {
+  double best = kInf;
+  for (auto& kv : toks) best = std::min(best, kv.second.cost);
+  *best_out = best;
+  double cutoff = best + beam;
+  if (max_active > 0 && (int64_t)toks.size() > max_active) {
+    std::vector<double> costs;
+    costs.reserve(toks.size());
+    for (auto& kv : toks) costs.push_back(kv.second.cost);
+    std::nth_element(costs.begin(), costs.begin() + max_active - 1,
+                     costs.end());
+    cutoff = std::min(cutoff, costs[max_active - 1]);
+  }
+  return cutoff;
+}
+
+}  // namespace
+
+int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
+                   int64_t S, double beam, int64_t max_active, double acwt,
+                   int32_t* out_labels, int64_t max_out) {
+  std::vector<Trace> arena;
+  arena.reserve(4096);
+  TokenMap cur;
+  cur[fst->start] = Token{0.0, -1};
+  PropagateEpsilon(fst, &cur, &arena, kInf);
+
+  for (int64_t t = 0; t < T; ++t) {
+    double best;
+    double cutoff = AdaptiveCutoff(cur, beam, max_active, &best);
+    TokenMap next;
+    next.reserve(cur.size() * 2);
+    const float* frame = loglikes + t * S;
+    double next_best = kInf;
+    for (auto& kv : cur) {
+      if (kv.second.cost > cutoff) continue;
+      const int32_t s = kv.first;
+      const Token& tok = kv.second;
+      for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
+        const Arc& arc = fst->arcs[a];
+        if (arc.ilabel == 0) continue;
+        const int32_t pdf = arc.ilabel - 1;
+        if (pdf >= S) continue;
+        double nc = tok.cost + arc.cost - acwt * (double)frame[pdf];
+        if (nc > next_best + beam) continue;
+        auto dit = next.find(arc.dst);
+        if (dit == next.end() || nc < dit->second.cost) {
+          int64_t tr = tok.trace;
+          if (arc.olabel != 0) {
+            arena.push_back(Trace{tok.trace, arc.olabel});
+            tr = (int64_t)arena.size() - 1;
+          }
+          next[arc.dst] = Token{nc, tr};
+          next_best = std::min(next_best, nc);
+        }
+      }
+    }
+    if (next.empty()) return -1;  // decode failed (over-pruned)
+    double nb;
+    double eps_cutoff = AdaptiveCutoff(next, beam, max_active, &nb);
+    PropagateEpsilon(fst, &next, &arena, eps_cutoff);
+    cur.swap(next);
+  }
+
+  // pick the best final token (fall back to best token if none final)
+  double best_cost = kInf;
+  int64_t best_trace = -1;
+  bool any_final = false;
+  for (auto& kv : cur) {
+    double fc = fst->final_cost[kv.first];
+    if (fc != kInf) {
+      any_final = true;
+      double c = kv.second.cost + fc;
+      if (c < best_cost) {
+        best_cost = c;
+        best_trace = kv.second.trace;
+      }
+    }
+  }
+  if (!any_final) {
+    for (auto& kv : cur) {
+      if (kv.second.cost < best_cost) {
+        best_cost = kv.second.cost;
+        best_trace = kv.second.trace;
+      }
+    }
+  }
+
+  // backtrace olabels
+  std::vector<int32_t> rev;
+  for (int64_t tr = best_trace; tr >= 0; tr = arena[tr].prev)
+    rev.push_back(arena[tr].olabel);
+  int64_t n = (int64_t)rev.size();
+  if (n > max_out) n = max_out;
+  for (int64_t i = 0; i < n; ++i) out_labels[i] = rev[rev.size() - 1 - i];
+  return n;
+}
+
+}  // extern "C"

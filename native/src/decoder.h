@@ -1,0 +1,39 @@
+// Native WFST beam-search Viterbi decoder (C ABI).
+//
+// Replaces the external Kaldi `latgen-faster-mapped` binary the
+// reference shells out to (ref: kaldi_decoding_scripts/decode_dnn.sh:84)
+// for the best-path decode: token-passing Viterbi over a text-format
+// FST (OpenFst-compatible "src dst ilabel olabel [cost]" arcs, tropical
+// semiring, ilabel = pdf-id + 1, 0 = epsilon) against per-frame acoustic
+// log-likelihood matrices, with beam + max-active pruning driven by the
+// same [decoding] config fields (beam, max_active, acwt).
+
+#ifndef PKC_NATIVE_DECODER_H_
+#define PKC_NATIVE_DECODER_H_
+
+#include <cstdint>
+
+extern "C" {
+
+typedef struct PkcFst PkcFst;
+
+// Load a text FST. Returns nullptr on parse failure.
+PkcFst* pkc_fst_load_text(const char* path);
+void pkc_fst_free(PkcFst* fst);
+int64_t pkc_fst_num_states(const PkcFst* fst);
+int64_t pkc_fst_num_arcs(const PkcFst* fst);
+
+// Decode one utterance.
+//   loglikes: T x S row-major acoustic log-likelihoods (pdf s at frame t)
+//   beam: prune tokens worse than best + beam
+//   max_active: keep at most this many states per frame (0 = unlimited)
+//   acwt: acoustic scale
+//   out_labels: best-path output labels (olabels, epsilons removed)
+// Returns number of labels written (>=0), or -1 on error.
+int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
+                   int64_t S, double beam, int64_t max_active, double acwt,
+                   int32_t* out_labels, int64_t max_out);
+
+}  // extern "C"
+
+#endif  // PKC_NATIVE_DECODER_H_

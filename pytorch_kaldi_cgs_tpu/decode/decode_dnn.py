@@ -28,6 +28,18 @@ from .scoring import read_phone_map, score_sequences
 from .viterbi import PhoneLoopHMM, batched_viterbi_decode
 
 
+def _decode_one_ark_native(ark_path: str, fst, acwt: float, beam: float,
+                           max_active: int) -> Dict[str, List[int]]:
+    """Decode one ark with the native C++ WFST beam decoder (olabels are
+    phone+1 on the phone-loop graph)."""
+    from .. import native as N
+    hyps: Dict[str, List[int]] = {}
+    for key, mat in N.read_mat_ark_native(ark_path):
+        labs = fst.decode(mat, beam=beam, max_active=max_active, acwt=acwt)
+        hyps[key] = [l - 1 for l in labs]
+    return hyps
+
+
 def _decode_one_ark(ark_path: str, hmm: PhoneLoopHMM, acwt: float,
                     batch: int = 16) -> Dict[str, List[int]]:
     """Decode all utterances of one posterior ark with the batched
@@ -51,23 +63,49 @@ def _decode_one_ark(ark_path: str, hmm: PhoneLoopHMM, acwt: float,
 
 
 def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
-               text_file: str, acwt: float = 0.2,
+               text_file: str, acwt: float = 0.2, beam: float = 13.0,
+               max_active: int = 7000,
                phone_map_file: Optional[str] = None,
-               num_workers: int = 4) -> Dict[str, float]:
+               num_workers: int = 4, engine: str = "auto"
+               ) -> Dict[str, float]:
     """Decode every ark matching ``ark_glob``, score, write results.
 
-    Returns the score dict (wer/sub/ins/del/...). Writes
-    ``<out_dir>/hyp.txt``, ``<out_dir>/wer`` and ``scoring_summary``.
+    engine: "native" (C++ WFST beam decoder), "jax" (batched on-device
+    Viterbi), or "auto" (native when the library is available). Returns
+    the score dict (wer/sub/ins/del/...). Writes ``<out_dir>/hyp.txt``,
+    ``<out_dir>/wer`` and ``scoring_summary``.
     """
     os.makedirs(out_dir, exist_ok=True)
     hmm = PhoneLoopHMM.from_graph_dir(graph_dir)
     arks = sorted(glob.glob(ark_glob))
     if not arks:
         raise FileNotFoundError("no posterior arks match %s" % ark_glob)
+
+    use_native = False
+    if engine in ("auto", "native"):
+        from .. import native as N
+        if N.available():
+            use_native = True
+        elif engine == "native":
+            raise RuntimeError("native decoder requested but unavailable")
+
     hyps: Dict[str, List[int]] = {}
-    with futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
-        for part in ex.map(lambda a: _decode_one_ark(a, hmm, acwt), arks):
-            hyps.update(part)
+    if use_native:
+        from .. import native as N
+        fst_txt = os.path.join(graph_dir, "phone_loop.fst.txt")
+        if not os.path.exists(fst_txt):
+            N.build_phone_loop_fst(fst_txt, hmm.num_phones,
+                                   hmm.states_per_phone)
+        with futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            def work(a):
+                fst = N.NativeFst(fst_txt)   # per-worker FST instance
+                return _decode_one_ark_native(a, fst, acwt, beam, max_active)
+            for part in ex.map(work, arks):
+                hyps.update(part)
+    else:
+        with futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            for part in ex.map(lambda a: _decode_one_ark(a, hmm, acwt), arks):
+                hyps.update(part)
 
     refs: Dict[str, List[int]] = {}
     with open(text_file) as f:

@@ -1,0 +1,219 @@
+"""ctypes bindings for the native C++ components (native/libpkc_native.so):
+fast ark I/O and the WFST beam-search decoder.
+
+The library is built with ``make -C native`` (done lazily here on first
+use if a toolchain is available). Everything has a pure-Python fallback,
+so the framework works without the native lib — it is the fast path, not
+a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LIB_PATH = os.path.join(_ROOT, "native", "libpkc_native.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.join(_ROOT, "native"), "-s"],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.pkc_ark_open.restype = ctypes.c_void_p
+    lib.pkc_ark_open.argtypes = [ctypes.c_char_p]
+    lib.pkc_ark_close.argtypes = [ctypes.c_void_p]
+    lib.pkc_ark_next_mat_header.restype = ctypes.c_int
+    lib.pkc_ark_next_mat_header.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib.pkc_ark_read_mat_data.restype = ctypes.c_int
+    lib.pkc_ark_read_mat_data.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.pkc_ark_next_vec_header.restype = ctypes.c_int
+    lib.pkc_ark_next_vec_header.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.pkc_ark_read_vec_data.restype = ctypes.c_int
+    lib.pkc_ark_read_vec_data.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.pkc_ark_write_mat.restype = ctypes.c_int
+    lib.pkc_ark_write_mat.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int64]
+    lib.pkc_fst_load_text.restype = ctypes.c_void_p
+    lib.pkc_fst_load_text.argtypes = [ctypes.c_char_p]
+    lib.pkc_fst_free.argtypes = [ctypes.c_void_p]
+    lib.pkc_fst_num_states.restype = ctypes.c_int64
+    lib.pkc_fst_num_states.argtypes = [ctypes.c_void_p]
+    lib.pkc_fst_num_arcs.restype = ctypes.c_int64
+    lib.pkc_fst_num_arcs.argtypes = [ctypes.c_void_p]
+    lib.pkc_decode.restype = ctypes.c_int64
+    lib.pkc_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_double, ctypes.c_int64,
+                               ctypes.c_double, ctypes.c_void_p,
+                               ctypes.c_int64]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# ark reading
+# ---------------------------------------------------------------------------
+
+def read_mat_ark_native(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Fast native matrix-ark iterator (binary FM/DM only)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    r = lib.pkc_ark_open(path.encode())
+    if not r:
+        raise FileNotFoundError(path)
+    key = ctypes.create_string_buffer(512)
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    try:
+        while True:
+            rc = lib.pkc_ark_next_mat_header(r, key, 512,
+                                             ctypes.byref(rows),
+                                             ctypes.byref(cols))
+            if rc == 0:
+                return
+            if rc < 0:
+                raise IOError("bad ark entry in %s" % path)
+            out = np.empty((rows.value, cols.value), np.float32)
+            if lib.pkc_ark_read_mat_data(r, out.ctypes.data_as(ctypes.c_void_p)) < 0:
+                raise IOError("short read in %s" % path)
+            yield key.value.decode(), out
+    finally:
+        lib.pkc_ark_close(r)
+
+
+def read_vec_int_ark_native(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    r = lib.pkc_ark_open(path.encode())
+    if not r:
+        raise FileNotFoundError(path)
+    key = ctypes.create_string_buffer(512)
+    n = ctypes.c_int64()
+    try:
+        while True:
+            rc = lib.pkc_ark_next_vec_header(r, key, 512, ctypes.byref(n))
+            if rc == 0:
+                return
+            if rc < 0:
+                raise IOError("bad ark entry in %s" % path)
+            out = np.empty(n.value, np.int32)
+            if lib.pkc_ark_read_vec_data(r, out.ctypes.data_as(ctypes.c_void_p)) < 0:
+                raise IOError("short read in %s" % path)
+            yield key.value.decode(), out
+    finally:
+        lib.pkc_ark_close(r)
+
+
+def write_mat_native(path: str, key: str, mat: np.ndarray) -> None:
+    lib = get_lib()
+    mat = np.ascontiguousarray(mat, np.float32)
+    rc = lib.pkc_ark_write_mat(path.encode(), key.encode(),
+                               mat.ctypes.data_as(ctypes.c_void_p),
+                               mat.shape[0], mat.shape[1])
+    if rc < 0:
+        raise IOError("write failed: %s" % path)
+
+
+# ---------------------------------------------------------------------------
+# WFST decoding
+# ---------------------------------------------------------------------------
+
+class NativeFst:
+    def __init__(self, path: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._fst = lib.pkc_fst_load_text(path.encode())
+        if not self._fst:
+            raise IOError("failed to load FST %s" % path)
+
+    @property
+    def num_states(self) -> int:
+        return self._lib.pkc_fst_num_states(self._fst)
+
+    @property
+    def num_arcs(self) -> int:
+        return self._lib.pkc_fst_num_arcs(self._fst)
+
+    def decode(self, loglikes: np.ndarray, beam: float = 13.0,
+               max_active: int = 7000, acwt: float = 0.2) -> List[int]:
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        T, S = ll.shape
+        out = np.zeros(4 * T + 16, np.int32)
+        n = self._lib.pkc_decode(self._fst, ll.ctypes.data_as(ctypes.c_void_p),
+                                 T, S, beam, max_active, acwt,
+                                 out.ctypes.data_as(ctypes.c_void_p),
+                                 len(out))
+        if n < 0:
+            raise RuntimeError("decode failed (beam too tight?)")
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.pkc_fst_free(self._fst)
+        except Exception:
+            pass
+
+
+def build_phone_loop_fst(path: str, num_phones: int, states_per_phone: int,
+                         self_loop_prob: float = 0.7,
+                         phone_insertion_penalty: float = 0.0) -> str:
+    """Write the phone-loop HMM as a text FST: ilabel = pdf+1, olabel =
+    phone+1 on the phone-entry arc. State 0 is the loop start."""
+    log_self = -np.log(self_loop_prob)
+    log_next = -np.log(1.0 - self_loop_prob)
+    lines = []
+    state = 1
+    for p in range(num_phones):
+        first = state
+        for s in range(states_per_phone):
+            pdf = p * states_per_phone + s
+            cur = state
+            # entry arc (from loop start for s=0, from prev state otherwise)
+            src = 0 if s == 0 else cur - 1
+            ol = p + 1 if s == 0 else 0
+            cost = (log_next + phone_insertion_penalty) if s == 0 else log_next
+            lines.append("%d %d %d %d %f" % (src, cur, pdf + 1, ol, cost))
+            lines.append("%d %d %d 0 %f" % (cur, cur, pdf + 1, log_self))
+            state += 1
+        # exit back to loop start — free: the cross-phone log_next is
+        # charged on the entry arc (matches the JAX PhoneLoopHMM, which
+        # prices a phone change with a single log_next)
+        lines.append("%d 0 0 0 0.0" % (state - 1))
+    # every state is final so utterances may end mid-phone, matching the
+    # JAX decoder's argmax over all states at the last frame
+    for s in range(state):
+        lines.append("%d 0.0" % s)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path

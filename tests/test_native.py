@@ -1,0 +1,105 @@
+"""Native C++ component tests (built on demand via make; skipped when no
+toolchain)."""
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_kaldi_cgs_tpu import native as N
+from pytorch_kaldi_cgs_tpu.data import kaldi_io
+
+pytestmark = pytest.mark.skipif(not N.available(),
+                                reason="native library unavailable")
+
+
+def test_native_ark_roundtrip(tmp_path):
+    mats = {"a": np.random.RandomState(0).randn(7, 3).astype(np.float32),
+            "b": np.random.RandomState(1).randn(2, 3).astype(np.float32)}
+    p = str(tmp_path / "x.ark")
+    for k, m in mats.items():
+        N.write_mat_native(p, k, m)
+    got = dict(N.read_mat_ark_native(p))
+    for k, m in mats.items():
+        np.testing.assert_allclose(got[k], m, rtol=1e-6)
+    # python reader agrees with native writer and vice versa
+    got_py = dict(kaldi_io.read_mat_ark(p))
+    np.testing.assert_allclose(got_py["a"], mats["a"], rtol=1e-6)
+    p2 = str(tmp_path / "y.ark")
+    kaldi_io.write_mat(p2, mats["a"], key="a")
+    got2 = dict(N.read_mat_ark_native(p2))
+    np.testing.assert_allclose(got2["a"], mats["a"], rtol=1e-6)
+
+
+def test_native_vec_ark(tmp_path):
+    p = str(tmp_path / "ali.ark")
+    with open(p, "wb") as f:
+        kaldi_io.write_vec_int(f, np.array([5, 4, 3], np.int32), key="u1")
+        kaldi_io.write_vec_int(f, np.arange(6, dtype=np.int32), key="u2")
+    got = dict(N.read_vec_int_ark_native(p))
+    np.testing.assert_array_equal(got["u1"], [5, 4, 3])
+    np.testing.assert_array_equal(got["u2"], np.arange(6))
+
+
+def test_native_fst_decode_oracle(tmp_path):
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 5, 2)
+    fst = N.NativeFst(fst_path)
+    assert fst.num_states == 11
+    rng = np.random.RandomState(3)
+    phones = [2, 4, 0, 4, 1]
+    pdfs = []
+    for p in phones:
+        seg = rng.randint(4, 9)
+        for i in range(seg):
+            pdfs.append(p * 2 + min(i * 2 // seg, 1))
+    T = len(pdfs)
+    ll = np.full((T, 10), -8.0, np.float32)
+    ll[np.arange(T), pdfs] = 0.0
+    labs = fst.decode(ll, beam=20.0, acwt=1.0)
+    assert [l - 1 for l in labs] == phones
+
+
+def test_native_decode_matches_jax_viterbi(tmp_path):
+    """Native WFST beam decode and the JAX phone-loop Viterbi agree on
+    noisy posteriors (same topology, wide beam)."""
+    from pytorch_kaldi_cgs_tpu.decode.viterbi import PhoneLoopHMM, viterbi_decode
+    rng = np.random.RandomState(7)
+    hmm = PhoneLoopHMM(4, 2)
+    T = 60
+    ll = np.log(rng.dirichlet(np.ones(8) * 0.3, size=T)).astype(np.float32)
+    ref = viterbi_decode(ll, hmm, acwt=1.0)
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 4, 2)
+    fst = N.NativeFst(fst_path)
+    hyp = [l - 1 for l in fst.decode(ll, beam=50.0, max_active=0, acwt=1.0)]
+    assert hyp == ref
+
+
+def test_decode_dnn_native_engine(tmp_path):
+    """decode_dnn with engine=native end to end on oracle posteriors."""
+    import json
+    from pytorch_kaldi_cgs_tpu.decode.decode_dnn import decode_dnn
+    graph = tmp_path / "graph"
+    graph.mkdir()
+    with open(graph / "graph.json", "w") as f:
+        json.dump({"type": "phone_loop", "num_phones": 4,
+                   "states_per_phone": 2}, f)
+    rng = np.random.RandomState(0)
+    refs = {}
+    ark = str(tmp_path / "post.ark")
+    for u in range(5):
+        phones = rng.randint(0, 4, size=rng.randint(3, 7)).tolist()
+        # avoid adjacent repeats (repeats decode fine but keep refs simple)
+        refs["utt%d" % u] = phones
+        pdfs = []
+        for p in phones:
+            for i in range(6):
+                pdfs.append(p * 2 + (0 if i < 3 else 1))
+        ll = np.full((len(pdfs), 8), -8.0, np.float32)
+        ll[np.arange(len(pdfs)), pdfs] = 0.0
+        kaldi_io.write_mat(open(ark, "ab"), ll, key="utt%d" % u)
+    with open(tmp_path / "text", "w") as f:
+        for k, v in refs.items():
+            f.write("%s %s\n" % (k, " ".join(map(str, v))))
+    res = decode_dnn(str(tmp_path / "dec"), ark, str(graph),
+                     str(tmp_path / "text"), acwt=1.0, beam=20.0,
+                     engine="native")
+    assert res["wer"] == 0.0
