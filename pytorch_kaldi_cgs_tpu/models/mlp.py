@@ -41,6 +41,31 @@ class MLP(AcousticModel):
         self.N = len(self.dnn_lay)
         self.out_dim = self.dnn_lay[-1]
         self._acts = [act_fun(a) for a in self.dnn_act]
+        self.block_sparse = opt_bool(options, "mlp_block_sparse", False)
+        self._bs_layouts = {}
+
+    def prepare_block_sparse(self, variables) -> None:
+        """Host-side layout derivation for the block-sparse matmul path
+        (plain HCGS only)."""
+        if not (self.block_sparse and self.spec.hcgs) or \
+                self.spec.guided_hcgs or self.spec.if_pattern or self.spec.prune:
+            return
+        from ..ops import block_sparse as BS
+        masks = variables["masks"]
+        for i in range(self.N):
+            key = "hcgs_w%d" % i
+            if key not in masks:
+                continue
+            mask = np.asarray(masks[key])
+            bs = self.spec.hcgs_block[0]
+            if bs % 128 or mask.shape[0] % bs or mask.shape[1] % bs:
+                continue
+            try:
+                layout = BS.pack_layout(mask, bs)
+            except ValueError:
+                continue
+            self._bs_layouts[i] = (layout,
+                                   jnp.asarray(BS.pack_blocks(mask, layout)))
 
     # ------------------------------------------------------------------
     def init(self, seed: int) -> Dict[str, Any]:
@@ -86,10 +111,13 @@ class MLP(AcousticModel):
         if self.use_batchnorm_inp:
             x, new_state["bn0"] = batch_norm(params["bn0"], state["bn0"], x, train)
         for i in range(self.N):
-            w = effective_weight(params["w%d" % i], masks, "w%d" % i,
-                                 self.spec, i)
             xin = maybe_quant_input(x, self.spec)
-            y = xin @ w.T + params["b%d" % i]
+            if i in self._bs_layouts:
+                y = self._apply_block_sparse(params, xin, i) + params["b%d" % i]
+            else:
+                w = effective_weight(params["w%d" % i], masks, "w%d" % i,
+                                     self.spec, i)
+                y = xin @ w.T + params["b%d" % i]
             if self.use_laynorm[i] and not self.use_batchnorm[i]:
                 y = layer_norm(params["ln%d" % i], y)
             elif self.use_batchnorm[i] and not self.use_laynorm[i]:
@@ -103,6 +131,26 @@ class MLP(AcousticModel):
             rng, sub = jax.random.split(rng)
             x = dropout(y, self.dnn_drop[i], train, sub)
         return x, new_state
+
+    def _apply_block_sparse(self, params, xin, i):
+        from ..ops import block_sparse as BS
+        from ..sparsity.quantize import ste_quantize_weight
+        layout, submask = self._bs_layouts[i]
+        M = xin.shape[0]
+        tile_m = 256
+        pad = (-M) % tile_m
+        if pad:
+            xin = jnp.concatenate(
+                [xin, jnp.zeros((pad, xin.shape[1]), xin.dtype)], axis=0)
+        w = params["w%d" % i]
+        if self.spec.quant:
+            w = ste_quantize_weight(w, self.spec.layer_bits(i))
+        wp = BS.gather_blocks_multi([w], layout) * submask[:, :, :]
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        y = BS.block_sparse_matmul_multi(
+            xin, wp, layout, 1, tile_m=min(tile_m, xin.shape[0]),
+            interpret=interpret)[0]
+        return y[:M]
 
     # ------------------------------------------------------------------
     def refresh_guided_masks(self, variables, seed: int = 0):

@@ -61,6 +61,10 @@ class _RecurrentBase(AcousticModel):
     def __init__(self, options: Mapping[str, Any], inp_dim: int):
         super().__init__(options, inp_dim)
         p = self.prefix
+        # opt-in block-sparse compute path: kept HCGS blocks only, via the
+        # fused multi-gate Pallas kernel (see ops.block_sparse)
+        self.block_sparse = opt_bool(options, p + "_block_sparse", False)
+        self._bs_layouts: Dict[int, Any] = {}
         self.lay = [int(v) for v in options[p + "_lay"].split(",")]
         self.drop = [float(v) for v in options[p + "_drop"].split(",")]
         self.use_batchnorm = [v.strip() in ("True", "true", "1")
@@ -139,13 +143,70 @@ class _RecurrentBase(AcousticModel):
                                self.spec, i) for g in names]
         return jnp.concatenate(ws, axis=0)
 
+    def prepare_block_sparse(self, variables) -> None:
+        """Host-side: derive the static level-1 block layouts + packed
+        level-2 submasks from the (numpy) HCGS masks. Must run before
+        jit-tracing apply when the block-sparse path is enabled."""
+        if not (self.block_sparse and self.spec.hcgs):
+            return
+        if self.spec.guided_hcgs or self.spec.if_pattern or self.spec.prune:
+            return  # dynamic-mask modes stay on the dense-masked path
+        from ..ops import block_sparse as BS
+        masks = variables["masks"]
+        for i in range(self.N):
+            key = "hcgs_%s%d" % (self.gates_x[0], i)
+            if key not in masks:
+                continue
+            mask = np.asarray(masks[key])
+            bs = self.spec.hcgsx_block[0]
+            if bs % 128 or mask.shape[0] % bs or mask.shape[1] % bs:
+                continue
+            try:
+                layout = BS.pack_layout(mask, bs)
+            except ValueError:
+                continue
+            sub = BS.pack_blocks_multi(
+                [np.asarray(masks["hcgs_%s%d" % (g, i)]) for g in self.gates_x],
+                layout)
+            self._bs_layouts[i] = (layout, jnp.asarray(sub))
+
+    def _proj_x_block_sparse(self, params, x, i):
+        """Input projections through the fused multi-gate block-sparse
+        kernel: only kept MXU tiles are touched."""
+        from ..ops import block_sparse as BS
+        from ..sparsity.quantize import ste_quantize_weight
+        layout, submask = self._bs_layouts[i]
+        G = len(self.gates_x)
+        T, B, F = x.shape
+        xin = maybe_quant_input(x, self.spec).reshape(T * B, F)
+        tile_m = 256
+        M = T * B
+        pad = (-M) % tile_m
+        if pad:
+            xin = jnp.concatenate(
+                [xin, jnp.zeros((pad, F), xin.dtype)], axis=0)
+        ws = [params["%s%d" % (g, i)] for g in self.gates_x]
+        if self.spec.quant:
+            bits = self.spec.layer_bits(i)
+            ws = [ste_quantize_weight(w, bits) for w in ws]
+        wst = BS.gather_blocks_multi(ws, layout) * submask
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        ys = BS.block_sparse_matmul_multi(xin, wst, layout, G,
+                                          tile_m=min(tile_m, xin.shape[0]),
+                                          interpret=interpret)
+        H = layout.N
+        return [ys[g][:M].reshape(T, B, H) for g in range(G)]
+
     def _proj_x(self, params, state, new_state, masks, x, i, train):
         """Fused input projections + per-gate batch norm. Returns a list
         of (T, B, H) arrays, one per x-gate."""
-        W = self._stacked(params, masks, self.gates_x, i)
-        xin = maybe_quant_input(x, self.spec)
-        proj = jnp.einsum("tbf,gf->tbg", xin, W)
-        outs = list(jnp.split(proj, len(self.gates_x), axis=-1))
+        if i in self._bs_layouts:
+            outs = self._proj_x_block_sparse(params, x, i)
+        else:
+            W = self._stacked(params, masks, self.gates_x, i)
+            xin = maybe_quant_input(x, self.spec)
+            proj = jnp.einsum("tbf,gf->tbg", xin, W)
+            outs = list(jnp.split(proj, len(self.gates_x), axis=-1))
         for k, g in enumerate(self.gates_x):
             bkey = "%s_b%d" % (g, i)
             if bkey in params:

@@ -317,6 +317,238 @@ def _build_ops(layout: BlockLayout, TILE_M: int, interpret: bool):
             _make_dw(layout, TILE_M, interpret))
 
 
+# ---------------------------------------------------------------------------
+# fused multi-matrix variant: G weight matrices sharing ONE layout (the
+# LSTM's 4 gates share the hcgsx mask, ref: neural_networks.py:858-861).
+# Stacking the G blocks at each kept position into (nnz, G*bs, bs) makes
+# every grid step a (TILE_M,bs)x(bs,G*bs) MXU op: the x tile loaded from
+# HBM is amortized over G gates -> Gx arithmetic intensity in fwd, dx
+# and dw alike.
+# ---------------------------------------------------------------------------
+
+def pack_blocks_multi(ws, layout: BlockLayout) -> np.ndarray:
+    """Stack G dense (N,K) matrices into (nnz, G*bs, bs)."""
+    G = len(ws)
+    bs = layout.bs
+    out = np.zeros((layout.nnz, G * bs, bs), np.asarray(ws[0]).dtype)
+    for g, w in enumerate(ws):
+        pk = pack_blocks(np.asarray(w), layout)
+        out[:, g * bs:(g + 1) * bs, :] = pk
+    return out
+
+
+def gather_blocks_multi(ws, layout: BlockLayout) -> jnp.ndarray:
+    """Traceable version of pack_blocks_multi over jnp arrays: gathers
+    kept blocks from dense (N,K) weights (grads scatter-add back)."""
+    bs = layout.bs
+    rows = jnp.asarray(layout.rows)
+    cols = jnp.asarray(layout.cols)
+    parts = []
+    for w in ws:
+        wb = w.reshape(layout.Nb, bs, layout.Kb, bs)
+        parts.append(wb[rows, :, cols, :])        # (nnz, bs, bs)
+    return jnp.concatenate(parts, axis=1)         # (nnz, G*bs, bs)
+
+
+def _make_fwd_multi(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bs, R, Nb = layout.bs, layout.R, layout.Nb
+
+    def kernel(col_idx_ref, x_ref, w_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], w_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (TILE_M, G*bs)
+
+        @pl.when(k == R - 1)
+        def _():
+            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(x, w_stacked):
+        M = x.shape[0]
+        grid = (M // TILE_M, Nb, R)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((TILE_M, bs),
+                                 lambda i, j, k, ci: (i, ci[j * R + k])),
+                    pl.BlockSpec((1, G * bs, bs),
+                                 lambda i, j, k, ci: (j * R + k, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, TILE_M, G * bs),
+                                       lambda i, j, k, ci: (i, 0, j)),
+                scratch_shapes=[pltpu.VMEM((TILE_M, G * bs), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((M // TILE_M, TILE_M, Nb * G * bs),
+                                           x.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * layout.nnz * bs * bs * G,
+                bytes_accessed=(M * layout.K + layout.nnz * G * bs * bs
+                                + M * layout.N * G) * 4,
+                transcendentals=0),
+        )(jnp.asarray(layout.col_idx), x, w_stacked)
+        # out: (M/T, TILE_M, Nb*G*bs) where column block j holds the G
+        # gates' bs-wide slices for out-block j -> regroup to (G, M, N)
+        out = out.reshape(M, Nb, G, bs)
+        return out.transpose(2, 0, 1, 3).reshape(G, M, layout.N)
+
+    return call
+
+
+def _make_dx_multi(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bs, C, Kb = layout.bs, layout.C, layout.Kb
+
+    def kernel(t_row_ref, t_perm_ref, g_ref, w_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        gmat = g_ref[0]                               # (TILE_M, G*bs)
+        acc_ref[...] += jax.lax.dot_general(
+            gmat, w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (TILE_M, bs)
+
+        @pl.when(k == C - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(g_grouped, w_stacked_padded):
+        # g_grouped: (M/T, TILE_M, Nb*G*bs) layout produced by forward
+        M = g_grouped.shape[0] * TILE_M
+        grid = (M // TILE_M, Kb, C)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, TILE_M, G * bs),
+                                 lambda i, c, k, tr, tp: (i, 0, tr[c * C + k])),
+                    pl.BlockSpec((1, G * bs, bs),
+                                 lambda i, c, k, tr, tp: (tp[c * C + k], 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((TILE_M, bs),
+                                       lambda i, c, k, tr, tp: (i, c)),
+                scratch_shapes=[pltpu.VMEM((TILE_M, bs), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((M, layout.K), g_grouped.dtype),
+            interpret=interpret,
+        )(jnp.asarray(layout.t_row_idx), jnp.asarray(layout.t_perm),
+          g_grouped, w_stacked_padded)
+
+    return call
+
+
+def _make_dw_multi(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bs = layout.bs
+
+    def kernel(rows_ref, cols_ref, g_ref, x_ref, o_ref, acc_ref):
+        m = pl.program_id(1)
+        n_m = pl.num_programs(1)
+
+        @pl.when(m == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            g_ref[0], x_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (G*bs, bs)
+
+        @pl.when(m == n_m - 1)
+        def _():
+            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(g_grouped, x):
+        M = x.shape[0]
+        grid = (layout.nnz, M // TILE_M)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, TILE_M, G * bs),
+                                 lambda p, m, rw, cl: (m, 0, rw[p])),
+                    pl.BlockSpec((TILE_M, bs),
+                                 lambda p, m, rw, cl: (m, cl[p])),
+                ],
+                out_specs=pl.BlockSpec((1, G * bs, bs),
+                                       lambda p, m, rw, cl: (p, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((G * bs, bs), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((layout.nnz, G * bs, bs),
+                                           g_grouped.dtype),
+            interpret=interpret,
+        )(jnp.asarray(layout.rows), jnp.asarray(layout.cols), g_grouped, x)
+
+    return call
+
+
+@functools.lru_cache(maxsize=64)
+def _build_multi_ops(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    return (_make_fwd_multi(layout, G, TILE_M, interpret),
+            _make_dx_multi(layout, G, TILE_M, interpret),
+            _make_dw_multi(layout, G, TILE_M, interpret))
+
+
+def block_sparse_matmul_multi(x: jnp.ndarray, w_stacked: jnp.ndarray,
+                              layout: BlockLayout, n_mats: int,
+                              tile_m: int = 256,
+                              interpret: bool = False) -> jnp.ndarray:
+    """ys[g] = x @ scatter(w_g).T for G matrices sharing one layout.
+
+    x: (M, K); w_stacked: (nnz, G*bs, bs); returns (G, M, N).
+    """
+    M = x.shape[0]
+    tile_m = min(tile_m, M)
+    if M % tile_m:
+        raise ValueError("M=%d not divisible by tile_m=%d" % (M, tile_m))
+    G = n_mats
+    bs, Nb = layout.bs, layout.Nb
+    fwd, dxk, dwk = _build_multi_ops(layout, G, tile_m, interpret)
+
+    def _regroup(g):
+        """(G, M, N) cotangent -> the (M/T, TILE_M, Nb*G*bs) layout the
+        backward kernels index."""
+        gg = g.reshape(G, M, Nb, bs).transpose(1, 2, 0, 3)   # (M, Nb, G, bs)
+        return gg.reshape(M // tile_m, tile_m, Nb * G * bs)
+
+    @jax.custom_vjp
+    def _op(x, w_stacked):
+        return fwd(x, w_stacked)
+
+    def _fwd_rule(x, w_stacked):
+        return fwd(x, w_stacked), (x, w_stacked)
+
+    def _bwd_rule(res, g):
+        x, w_stacked = res
+        gg = _regroup(g)
+        pad = jnp.zeros((1,) + w_stacked.shape[1:], w_stacked.dtype)
+        w_pad = jnp.concatenate([w_stacked, pad], axis=0)
+        dx = dxk(gg, w_pad)
+        dw = dwk(gg, x)
+        return dx, dw
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(x, w_stacked)
+
+
 def block_sparse_matmul(x: jnp.ndarray, w_packed: jnp.ndarray,
                         layout: BlockLayout, tile_m: int = 256,
                         interpret: bool = False) -> jnp.ndarray:

@@ -292,6 +292,13 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
         except (AttributeError, TypeError):
             pass
 
+    # derive static block-sparse layouts from the (host) masks before
+    # any jit trace happens
+    for arch in graph.net_order:
+        net = graph.nets[arch]
+        if hasattr(net, "prepare_block_sparse"):
+            net.prepare_block_sparse(variables[arch])
+
     seq_model = any(graph.seq_flags.values())
     rng_np = np.random.RandomState(seed)
     rng = jax.random.PRNGKey(seed)

@@ -94,3 +94,49 @@ def test_two_level_submask(layout_and_w):
 def test_density_accounting(layout_and_w):
     _, layout, _, _ = layout_and_w
     assert layout.density() == pytest.approx(0.5)
+
+
+def test_multi_gate_forward_and_grads(layout_and_w):
+    """Fused 4-gate variant vs per-gate dense reference."""
+    mask, layout, w, wp = layout_and_w
+    G = 4
+    rng = np.random.RandomState(9)
+    ws = [rng.randn(32, 48).astype(np.float32) * mask for _ in range(G)]
+    w_stacked = jnp.asarray(B.pack_blocks_multi(ws, layout))
+    x = jnp.asarray(rng.randn(16, 48).astype(np.float32))
+    ys = B.block_sparse_matmul_multi(x, w_stacked, layout, G, tile_m=8,
+                                     interpret=True)
+    assert ys.shape == (G, 16, 32)
+    for g in range(G):
+        np.testing.assert_allclose(np.array(ys[g]), np.array(x) @ ws[g].T,
+                                   rtol=1e-4, atol=1e-4)
+    # grads
+    g_out = rng.randn(G, 16, 32).astype(np.float32)
+
+    def f(x, w_stacked):
+        ys = B.block_sparse_matmul_multi(x, w_stacked, layout, G, tile_m=8,
+                                         interpret=True)
+        return jnp.sum(ys * jnp.asarray(g_out))
+
+    dx, dws = jax.grad(f, argnums=(0, 1))(x, w_stacked)
+    wd = jnp.asarray(np.stack(ws))
+
+    def f_ref(x, wd):
+        ys = jnp.einsum("mk,gnk->gmn", x, wd)
+        return jnp.sum(ys * jnp.asarray(g_out))
+
+    dx_r, dw_r = jax.grad(f_ref, argnums=(0, 1))(x, wd)
+    np.testing.assert_allclose(np.array(dx), np.array(dx_r), rtol=1e-4,
+                               atol=1e-4)
+    for g in range(G):
+        got = B.unpack_blocks(np.array(dws)[:, g * BS:(g + 1) * BS, :], layout)
+        np.testing.assert_allclose(got, np.array(dw_r)[g] * mask,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gather_blocks_multi_matches_pack(layout_and_w):
+    mask, layout, w, wp = layout_and_w
+    ws = [w, w * 2]
+    packed = B.pack_blocks_multi(ws, layout)
+    gathered = B.gather_blocks_multi([jnp.asarray(v) for v in ws], layout)
+    np.testing.assert_allclose(np.array(gathered), packed)

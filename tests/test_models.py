@@ -258,3 +258,40 @@ def test_sincnet_filters_and_forward():
 def test_model_registry():
     assert M.get_model_class("pytorch_kaldi_cgs_tpu.models", "LSTM") is M.LSTM
     assert M.get_model_class("neural_networks", "MLP") is M.MLP
+
+
+def test_lstm_block_sparse_path_matches_dense():
+    """The fused block-sparse projection path must match the dense
+    masked path numerically (interpret-mode kernel on CPU)."""
+    o = lstm_opts("256", lstm_hcgs="True", hcgsx_block="128", hcgsx_sparse="50",
+                  hcgsh_block="128", hcgsh_sparse="50")
+    o["lstm_use_batchnorm"] = "False"
+    o["lstm_use_laynorm"] = "False"
+    m_dense = M.LSTM(dict(o), 256)
+    o2 = dict(o, lstm_block_sparse="True")
+    m_bs = M.LSTM(o2, 256)
+    v = m_dense.init(0)
+    m_bs.prepare_block_sparse(v)
+    assert 0 in m_bs._bs_layouts
+    x = jnp.array(np.random.RandomState(0).randn(4, 2, 256), jnp.float32)
+    y_d, _ = m_dense.apply(v, x, train=False)
+    y_s, _ = m_bs.apply(v, x, train=False)
+    np.testing.assert_allclose(np.array(y_s), np.array(y_d), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_mlp_block_sparse_path_matches_dense():
+    o = mlp_opts(lay="256,8", mlp_hcgs="True", hcgs_block="128",
+                 hcgs_sparse="50", mlp_block_sparse="True")
+    m = M.MLP(o, 256)
+    o2 = dict(o, mlp_block_sparse="False")
+    m_dense = M.MLP(o2, 256)
+    v = m.init(0)
+    m.prepare_block_sparse(v)
+    assert 0 in m._bs_layouts
+    assert 1 not in m._bs_layouts  # 8-dim output not 128-divisible
+    x = jnp.array(np.random.RandomState(1).randn(8, 256), jnp.float32)
+    y_s, _ = m.apply(v, x, train=False)
+    y_d, _ = m_dense.apply(v, x, train=False)
+    np.testing.assert_allclose(np.array(y_s), np.array(y_d), rtol=1e-4,
+                               atol=1e-4)
