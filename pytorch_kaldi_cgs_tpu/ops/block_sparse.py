@@ -351,42 +351,46 @@ def gather_blocks_multi(ws, layout: BlockLayout) -> jnp.ndarray:
 
 
 def _make_fwd_multi(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    """x-row-stationary forward: grid (M/T, Nb); the whole (TILE_M, K)
+    x row-block sits in VMEM across the inner j loop, the R-block
+    reduction runs *inside* the kernel (fori + dynamic slices), so per-
+    grid-step work is a full output tile instead of one 128-wide dot —
+    amortizing grid overhead and x DMA."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    def kernel(col_idx_ref, x_ref, w_ref, o_ref, acc_ref):
-        k = pl.program_id(2)
+    def kernel(col_idx_ref, x_ref, w_ref, o_ref):
+        j = pl.program_id(1)
 
-        @pl.when(k == 0)
-        def _():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+        def body(k, acc):
+            ci = col_idx_ref[j * R + k]
+            xb = x_ref[:, pl.ds(ci * bs, bs)]              # (TILE_M, bs)
+            wb = w_ref[k]                                  # (G*bs, bs)
+            return acc + jax.lax.dot_general(
+                xb, wb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-        acc_ref[...] += jax.lax.dot_general(
-            x_ref[...], w_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (TILE_M, G*bs)
-
-        @pl.when(k == R - 1)
-        def _():
-            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+        acc = jax.lax.fori_loop(
+            0, R, body, jnp.zeros((TILE_M, G * bs), jnp.float32))
+        o_ref[0] = acc.astype(o_ref.dtype)
 
     def call(x, w_stacked):
         M = x.shape[0]
-        grid = (M // TILE_M, Nb, R)
+        grid = (M // TILE_M, Nb)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((TILE_M, bs),
-                                 lambda i, j, k, ci: (i, ci[j * R + k])),
-                    pl.BlockSpec((1, G * bs, bs),
-                                 lambda i, j, k, ci: (j * R + k, 0, 0)),
+                    pl.BlockSpec((TILE_M, layout.K),
+                                 lambda i, j, ci: (i, 0)),
+                    pl.BlockSpec((R, G * bs, bs),
+                                 lambda i, j, ci: (j, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((1, TILE_M, G * bs),
-                                       lambda i, j, k, ci: (i, 0, j)),
-                scratch_shapes=[pltpu.VMEM((TILE_M, G * bs), jnp.float32)],
+                                       lambda i, j, ci: (i, 0, j)),
             ),
             out_shape=jax.ShapeDtypeStruct((M // TILE_M, TILE_M, Nb * G * bs),
                                            x.dtype),
