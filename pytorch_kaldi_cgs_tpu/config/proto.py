@@ -301,4 +301,11 @@ def check_cfg(cfg_file: str, config: configparser.ConfigParser,
                         pattern, str(N_out_lab[i]))
 
     parse_model_field(config)
+
+    # block diagram of the model (ref: utils.py:1417-1532) — best effort
+    try:
+        from ..utils.diagram import create_block_diagram
+        create_block_diagram(config, out_folder)
+    except Exception:
+        pass
     return config, name_data, name_arch

@@ -132,6 +132,29 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
     return result
 
 
+def decode_dnn_sweep(out_dir: str, ark_glob: str, graph_dir: str,
+                     text_file: str, min_lmwt: int = 1, max_lmwt: int = 10,
+                     **kw) -> Dict[str, float]:
+    """Decode with a sweep of LM weights (acwt = 1/lmwt) and keep the
+    best WER — the reference scores every lmwt 1..10 and greps the best
+    (ref: local/score.sh:55-60 + best_wer.sh). Writes wer_<lmwt> files
+    and returns the best score dict (with "lmwt" recorded)."""
+    best = None
+    for lmwt in range(min_lmwt, max_lmwt + 1):
+        sub = os.path.join(out_dir, "score_%d" % lmwt)
+        res = decode_dnn(sub, ark_glob, graph_dir, text_file,
+                         acwt=1.0 / lmwt, **kw)
+        with open(os.path.join(out_dir, "wer_%d" % lmwt), "w") as f:
+            f.write(open(os.path.join(sub, "wer")).read())
+        if best is None or res["wer"] < best["wer"]:
+            best = dict(res, lmwt=lmwt)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "wer"), "w") as f:
+        f.write(open(os.path.join(out_dir, "score_%d" % best["lmwt"],
+                                  "wer")).read())
+    return best
+
+
 def best_wer(decode_dirs: List[str]) -> str:
     """Pick the best wer line across decode dirs (ref: best_wer.sh:25-40)."""
     best = None

@@ -303,6 +303,8 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
     rng_np = np.random.RandomState(seed)
     rng = jax.random.PRNGKey(seed)
 
+    from .observe import StepTimer, profile_trace, progress
+    timer = StepTimer()
     loss_sum, err_sum, n_batches = 0.0, 0.0, 0
     start_time = time.time()
 
@@ -334,29 +336,43 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
             f.close()
     elif seq_model:
         step = runner.train_step() if to_do == "train" else runner.eval_step()
-        for inp, mask, offsets, names in make_seq_batches(
-                chunk, batch_size, to_do == "train", rng_np):
-            rng, sub = jax.random.split(rng)
-            if to_do == "train":
-                variables, opt_states, loss, err = step(
-                    variables, opt_states, jnp.asarray(inp), jnp.asarray(mask), sub)
-            else:
-                loss, err = step(variables, jnp.asarray(inp), jnp.asarray(mask))
-            loss_sum += float(loss)
-            err_sum += float(err)
-            n_batches += 1
+        total = len(chunk.seq_lengths) // batch_size
+        with profile_trace(name="%s_chunk" % to_do):
+            for inp, mask, offsets, names in make_seq_batches(
+                    chunk, batch_size, to_do == "train", rng_np):
+                rng, sub = jax.random.split(rng)
+                timer.start()
+                if to_do == "train":
+                    variables, opt_states, loss, err = step(
+                        variables, opt_states, jnp.asarray(inp),
+                        jnp.asarray(mask), sub)
+                else:
+                    loss, err = step(variables, jnp.asarray(inp),
+                                     jnp.asarray(mask))
+                loss_sum += float(loss)
+                err_sum += float(err)
+                timer.stop()
+                n_batches += 1
+                progress(n_batches, total, "%s L:%.3f"
+                         % (to_do, loss_sum / n_batches))
     else:
         step = runner.train_step() if to_do == "train" else runner.eval_step()
-        for inp in make_flat_batches(chunk, batch_size):
-            rng, sub = jax.random.split(rng)
-            if to_do == "train":
-                variables, opt_states, loss, err = step(
-                    variables, opt_states, jnp.asarray(inp), None, sub)
-            else:
-                loss, err = step(variables, jnp.asarray(inp), None)
-            loss_sum += float(loss)
-            err_sum += float(err)
-            n_batches += 1
+        total = chunk.data.shape[0] // batch_size
+        with profile_trace(name="%s_chunk" % to_do):
+            for inp in make_flat_batches(chunk, batch_size):
+                rng, sub = jax.random.split(rng)
+                timer.start()
+                if to_do == "train":
+                    variables, opt_states, loss, err = step(
+                        variables, opt_states, jnp.asarray(inp), None, sub)
+                else:
+                    loss, err = step(variables, jnp.asarray(inp), None)
+                loss_sum += float(loss)
+                err_sum += float(err)
+                timer.stop()
+                n_batches += 1
+                progress(n_batches, total, "%s L:%.3f"
+                         % (to_do, loss_sum / n_batches))
 
     elapsed = time.time() - start_time
     loss_tot = loss_sum / max(n_batches, 1)
@@ -375,6 +391,10 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
             f.write("loss=%f\n" % loss_tot)
             f.write("err=%f\n" % err_tot)
         f.write("elapsed_time_chunk=%f\n" % elapsed)
+        ts = timer.summary()
+        if ts.get("steps"):
+            f.write("step_mean_s=%f\nstep_p95_s=%f\n"
+                    % (ts["mean_s"], ts["p95_s"]))
 
     next_chunk = None
     if prefetch_thread is not None:
