@@ -449,6 +449,73 @@ class ArkScpWriter:
         self.close()
 
 
+def read_post(file_or_fd):
+    """Read one Kaldi posterior entry: per frame a list of (id, weight)
+    pairs (ref behavior: data_io.py:817-910). Returns a list of lists."""
+    fd = open_or_fd(file_or_fd)
+    try:
+        marker = fd.read(2)
+        if marker != b"\x00B":
+            raise KaldiIOError("ascii posteriors not supported")
+        n_frames = _read_int32(fd)
+        out = []
+        for _ in range(n_frames):
+            n = _read_int32(fd)
+            frame = []
+            for _ in range(n):
+                idx = _read_int32(fd)
+                size = fd.read(1)
+                if size != b"\x04":
+                    raise KaldiIOError("bad float size in posterior")
+                w = struct.unpack("<f", fd.read(4))[0]
+                frame.append((idx, w))
+            out.append(frame)
+        return out
+    finally:
+        _maybe_close(fd, file_or_fd)
+
+
+def read_post_ark(file_or_fd):
+    fd = open_or_fd(file_or_fd)
+    try:
+        while True:
+            key = read_key(fd)
+            if not key:
+                return
+            yield key, read_post(fd)
+    finally:
+        _maybe_close(fd, file_or_fd)
+
+
+def write_post(file_or_fd, post, key: str = "") -> None:
+    fd = open_or_fd(file_or_fd, mode="wb")
+    try:
+        if key:
+            _write_key(fd, key)
+        fd.write(b"\x00B")
+        _write_int32(fd, len(post))
+        for frame in post:
+            _write_int32(fd, len(frame))
+            for idx, w in frame:
+                _write_int32(fd, int(idx))
+                fd.write(b"\x04" + struct.pack("<f", float(w)))
+    finally:
+        _maybe_close(fd, file_or_fd)
+
+
+def read_segments_as_bool_vec(segments_file: str) -> np.ndarray:
+    """Kaldi segments file of one recording -> frame-level bool vector
+    at 100 fps (ref behavior: data_io.py:979-996)."""
+    segs = np.loadtxt(segments_file, dtype="object,object,f,f", ndmin=1)
+    if len(set(s[1] for s in segs)) != 1:
+        raise KaldiIOError("segments file covers more than one recording")
+    bounds = np.rint(np.array([(s[2], s[3]) for s in segs]) * 100).astype(int)
+    out = np.zeros(bounds.max(), dtype=bool)
+    for beg, end in bounds:
+        out[beg:end] = True
+    return out
+
+
 def load_counts(class_counts_file: str) -> np.ndarray:
     """Parse a "[c1 c2 ...]" prior-count vector (ref: data_io.py:148-152)."""
     with open(class_counts_file) as f:

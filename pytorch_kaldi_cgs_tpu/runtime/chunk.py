@@ -378,6 +378,16 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
     loss_tot = loss_sum / max(n_batches, 1)
     err_tot = err_sum / max(n_batches, 1)
 
+    # optional .mat export of weights/masks at eval time
+    # (ref: neural_networks.py:280-304 save_mat at valid/forward)
+    if to_do in ("valid", "forward") and \
+            strtobool(config["exp"].get("save_mat", "False")):
+        from ..utils.matio import export_model_mats
+        mat_dir = os.path.join(out_folder, "parameters")
+        for arch in graph.net_order:
+            export_model_mats(variables[arch], graph.nets[arch].arch_name,
+                              mat_dir)
+
     # post-chunk compression refresh + checkpoint (ref: core.py:285-322)
     if to_do == "train":
         variables = graph.post_chunk_refresh(variables, if_prune, seed=seed)

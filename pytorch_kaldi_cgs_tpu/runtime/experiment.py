@@ -102,6 +102,13 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
 
     res_path = os.path.join(out_folder, "res.res")
     res_file = open(res_path, "a")
+    log_file = open(os.path.join(out_folder, "log.log"), "a")
+
+    def log(msg: str) -> None:
+        log_file.write("[%s] %s\n" % (time.strftime("%Y-%m-%d %H:%M:%S"), msg))
+        log_file.flush()
+
+    log("run_exp start: %s" % cfg_file)
 
     # ---------------- training loop ----------------
     chunk_data = None
@@ -186,6 +193,7 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
         print(line)
         res_file.write(line + "\n")
         res_file.flush()
+        log(line)
 
         # newbob annealing (ref: run_exp.py:317-332)
         if ep > 0 and valid_perf_prev:
@@ -259,6 +267,9 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                     results["wer_%s_%s" % (fwd_data, fo)] = res["wer"]
                 except (FileNotFoundError, ValueError) as e:
                     print("decoding skipped: %s" % e)
+                    log("decoding skipped: %s" % e)
     res_file.close()
+    log("run_exp done")
+    log_file.close()
     results["res_file"] = res_path
     return results

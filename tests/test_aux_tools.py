@@ -73,3 +73,27 @@ def test_wav_to_frames():
     frames = wav_to_frames(sig, n_frames=50, wlen=3200, shift=160)
     assert frames.shape == (50, 3200)
     assert np.abs(frames).max() <= 1.0
+
+
+def test_matio_export(tmp_path):
+    pytest_importorskip = __import__("pytest").importorskip
+    pytest_importorskip("scipy")
+    from pytorch_kaldi_cgs_tpu.utils.matio import export_model_mats
+    variables = {"params": {"w0": np.ones((4, 4), np.float32),
+                            "b0": np.zeros(4, np.float32)},
+                 "masks": {"hcgs_w0": np.eye(4, dtype=np.float32)}}
+    n = export_model_mats(variables, "arch", str(tmp_path))
+    assert n == 2
+    import scipy.io as sio
+    d = sio.loadmat(str(tmp_path / "arch_w0.mat"))
+    np.testing.assert_allclose(d["arch_w0"], np.ones((4, 4)))
+
+
+def test_getresults(tmp_path):
+    from pytorch_kaldi_cgs_tpu.bin.getresults import collect
+    d = tmp_path / "exp" / "run1" / "decode_test_out"
+    os.makedirs(d)
+    with open(d / "wer", "w") as f:
+        f.write("%WER 12.34 [ 10 / 81, 1 ins, 2 del, 7 sub ]\n")
+    rows = collect(str(tmp_path / "exp"))
+    assert rows == [("run1", 12.34, str(d))]

@@ -159,3 +159,25 @@ def test_read_pipe(tmp_path):
     kaldi_io.write_mat(p, mat, key="u")
     entries = list(kaldi_io.read_mat_ark("cat %s |" % p))
     np.testing.assert_allclose(entries[0][1], mat, rtol=1e-6)
+
+
+def test_posterior_roundtrip(tmp_path):
+    post = [[(1, 0.5), (2, 0.5)], [(3, 1.0)], []]
+    p = str(tmp_path / "p.ark")
+    with open(p, "wb") as f:
+        kaldi_io.write_post(f, post, key="u1")
+    key, got = next(kaldi_io.read_post_ark(p))
+    assert key == "u1"
+    assert len(got) == 3
+    assert got[0][0][0] == 1 and abs(got[0][0][1] - 0.5) < 1e-6
+    assert got[2] == []
+
+
+def test_segments_bool_vec(tmp_path):
+    p = str(tmp_path / "segments")
+    with open(p, "w") as f:
+        f.write("utt1 rec1 0.00 0.50\n")
+        f.write("utt2 rec1 1.00 1.20\n")
+    v = kaldi_io.read_segments_as_bool_vec(p)
+    assert v.shape == (120,)
+    assert v[:50].all() and not v[50:100].any() and v[100:120].all()
