@@ -66,11 +66,13 @@ def find_transition_model(lab_folder: str) -> TransitionModel:
         if os.path.exists(p):
             with open(p, "rb") as f:
                 head = f.read(64)
-            if b"<TransitionModel>" in head and not head.startswith(b"\x00B"):
+            if head.startswith(b"\x00B"):
+                return TransitionModel.from_kaldi_binary(p)
+            if b"<TransitionModel>" in head:
                 return TransitionModel.from_kaldi_text(p)
     raise FileNotFoundError(
-        "no usable transition model in %s (need final.mdl.json or a text "
-        "final.mdl; binary Kaldi models are not supported yet)" % lab_folder)
+        "no usable transition model in %s (need final.mdl.json or a "
+        "binary/text Kaldi final.mdl)" % lab_folder)
 
 
 def load_dataset(fea_scp: str, fea_opts: str, lab_folder: Optional[str],

@@ -183,9 +183,130 @@ class TransitionModel:
                    max_pdf + 1, len(phones))
 
     @classmethod
+    def from_kaldi_binary(cls, path: str) -> "TransitionModel":
+        """Parse a binary Kaldi model file (final.mdl): the leading
+        TransitionModel object ("\\0B<TransitionModel> <Topology> ...
+        <Triples>/<Tuples> ... <LogProbs> ...") — the acoustic model that
+        follows is ignored. Implements the public Kaldi serialization:
+        tokens are space-terminated strings, basic ints/floats are
+        (size-byte, value) pairs, integer vectors are a counted sequence
+        of such pairs."""
+        import struct as _struct
+
+        with open(path, "rb") as f:
+            data = f.read()
+        if not data.startswith(b"\x00B"):
+            raise ValueError("%s is not a binary Kaldi file" % path)
+        pos = [2]
+
+        def tok() -> str:
+            chars = []
+            while data[pos[0]:pos[0] + 1] == b" ":
+                pos[0] += 1
+            while True:
+                c = data[pos[0]:pos[0] + 1]
+                pos[0] += 1
+                if c in (b" ", b""):
+                    break
+                chars.append(c)
+            return b"".join(chars).decode()
+
+        def expect(t: str) -> None:
+            got = tok()
+            if got != t:
+                raise ValueError("expected %s got %s in %s" % (t, got, path))
+
+        def basic_int() -> int:
+            size = data[pos[0]]
+            pos[0] += 1
+            if size == 4:
+                v = _struct.unpack_from("<i", data, pos[0])[0]
+            elif size == 8:
+                v = _struct.unpack_from("<q", data, pos[0])[0]
+            else:
+                raise ValueError("unexpected int size %d" % size)
+            pos[0] += size
+            return v
+
+        def basic_float() -> float:
+            size = data[pos[0]]
+            pos[0] += 1
+            v = _struct.unpack_from("<f" if size == 4 else "<d", data, pos[0])[0]
+            pos[0] += size
+            return v
+
+        def int_vector() -> list:
+            n = basic_int()
+            return [basic_int() for _ in range(n)]
+
+        expect("<TransitionModel>")
+        expect("<Topology>")
+        phones = int_vector()
+        _phone2idx = int_vector()
+        sz = basic_int()
+        is_hmm = True
+        if sz == -1:  # newer "not-hmm" marker: separate self-loop pdf-classes
+            is_hmm = False
+            sz = basic_int()
+        entries = []
+        for _ in range(sz):
+            n_states = basic_int()
+            states = []
+            for _s in range(n_states):
+                fwd_class = basic_int()
+                self_class = fwd_class if is_hmm else basic_int()
+                n_trans = basic_int()
+                trans = []
+                for _t in range(n_trans):
+                    dest = basic_int()
+                    prob = basic_float()
+                    trans.append((dest, prob))
+                states.append((fwd_class, self_class, trans))
+            entries.append(states)
+        expect("</Topology>")
+        kind = tok()
+        if kind not in ("<Triples>", "<Tuples>"):
+            raise ValueError("expected <Triples>/<Tuples>, got %s" % kind)
+        n_tuples = basic_int()
+        tuples = []
+        for _ in range(n_tuples):
+            phone = basic_int()
+            hmm_state = basic_int()
+            fwd_pdf = basic_int()
+            self_pdf = basic_int() if kind == "<Tuples>" else fwd_pdf
+            tuples.append((phone, hmm_state, fwd_pdf, self_pdf))
+        expect("</Triples>" if kind == "<Triples>" else "</Tuples>")
+
+        # phone2idx_ is indexed by phone id (length max_phone+1, -1 holes)
+        entry_of_phone = {}
+        for p in phones:
+            idx = _phone2idx[p] if p < len(_phone2idx) else -1
+            if 0 <= idx < len(entries):
+                entry_of_phone[p] = entries[idx]
+
+        tid2pdf = [-1]
+        tid2phone = [-1]
+        max_pdf = -1
+        for phone, hmm_state, fwd_pdf, self_pdf in tuples:
+            max_pdf = max(max_pdf, fwd_pdf, self_pdf)
+            states = entry_of_phone[phone]
+            _fc, _sc, trans = states[hmm_state]
+            for dest, _p in trans:
+                is_self = dest == hmm_state
+                tid2pdf.append(self_pdf if is_self else fwd_pdf)
+                tid2phone.append(phone)
+        return cls(np.asarray(tid2pdf, dtype=np.int32),
+                   np.asarray(tid2phone, dtype=np.int32),
+                   max_pdf + 1, len(phones))
+
+    @classmethod
     def load(cls, path: str) -> "TransitionModel":
         if path.endswith(".json"):
             return cls.from_json(path)
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head == b"\x00B":
+            return cls.from_kaldi_binary(path)
         return cls.from_kaldi_text(path)
 
     # -- ali mapping --------------------------------------------------------

@@ -183,3 +183,70 @@ def test_prior_counts(tmp_path):
     p = str(tmp_path / "counts")
     features.write_prior_counts(c, p)
     np.testing.assert_allclose(kaldi_io.load_counts(p), [2, 2, 1, 0])
+
+
+def _write_kaldi_binary_tmodel(path, kind="Tuples"):
+    """Emit a minimal binary Kaldi TransitionModel: 2 phones, 2-state
+    HMM topology (self-loop + forward per emitting state)."""
+    import struct
+
+    def tok(t):
+        return t.encode() + b" "
+
+    def bint(v):
+        return b"\x04" + struct.pack("<i", v)
+
+    def bfloat(v):
+        return b"\x04" + struct.pack("<f", v)
+
+    def ivec(vals):
+        return bint(len(vals)) + b"".join(bint(v) for v in vals)
+
+    buf = b"\x00B" + tok("<TransitionModel>") + tok("<Topology>")
+    buf += ivec([1, 2])                  # phones
+    buf += ivec([-1, 0, 0])              # phone2idx (index by phone id)
+    buf += bint(1)                       # one topology entry (is_hmm)
+    # entry: 3 states (2 emitting + final)
+    buf += bint(3)
+    for s in range(2):
+        buf += bint(s)                   # forward pdf_class
+        buf += bint(2)                   # 2 transitions
+        buf += bint(s) + bfloat(0.5)     # self loop
+        buf += bint(s + 1) + bfloat(0.5)  # advance
+    buf += bint(-2) + bint(0)            # final state: kNoPdf(-2), 0 transitions
+    buf += tok("</Topology>")
+    if kind == "Tuples":
+        buf += tok("<Tuples>") + bint(4)
+        # (phone, hmm_state, fwd_pdf, self_pdf)
+        for phone in (1, 2):
+            for s in range(2):
+                pdf = (phone - 1) * 2 + s
+                buf += bint(phone) + bint(s) + bint(pdf) + bint(pdf)
+        buf += tok("</Tuples>")
+    else:
+        buf += tok("<Triples>") + bint(4)
+        for phone in (1, 2):
+            for s in range(2):
+                pdf = (phone - 1) * 2 + s
+                buf += bint(phone) + bint(s) + bint(pdf)
+        buf += tok("</Triples>")
+    buf += tok("<LogProbs>") + b"FV " + bint(0) + tok("</LogProbs>")
+    buf += tok("</TransitionModel>")
+    with open(path, "wb") as f:
+        f.write(buf)
+
+
+@pytest.mark.parametrize("kind", ["Tuples", "Triples"])
+def test_transition_model_kaldi_binary(tmp_path, kind):
+    p = str(tmp_path / "final.mdl")
+    _write_kaldi_binary_tmodel(p, kind)
+    tm = features.TransitionModel.from_kaldi_binary(p)
+    assert tm.num_pdfs == 4
+    assert tm.num_phones == 2
+    # 4 tuples x 2 transitions = 8 tids
+    assert len(tm.tid2pdf) == 9
+    np.testing.assert_array_equal(tm.tid2pdf[1:], [0, 0, 1, 1, 2, 2, 3, 3])
+    np.testing.assert_array_equal(tm.tid2phone[1:], [1, 1, 1, 1, 2, 2, 2, 2])
+    # loader sniffs binary automatically
+    tm2 = features.TransitionModel.load(p)
+    np.testing.assert_array_equal(tm2.tid2pdf, tm.tid2pdf)
