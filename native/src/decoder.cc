@@ -90,6 +90,7 @@ namespace {
 struct Trace {
   int64_t prev;
   int32_t olabel;
+  int32_t frame;
 };
 
 struct Token {
@@ -101,7 +102,8 @@ using TokenMap = std::unordered_map<int32_t, Token>;
 
 // Epsilon-closure propagation within the current frame.
 void PropagateEpsilon(const PkcFst* fst, TokenMap* toks,
-                      std::vector<Trace>* arena, double cutoff) {
+                      std::vector<Trace>* arena, double cutoff,
+                      int32_t frame) {
   // simple work-list; WFST graphs after composition are mostly eps-free,
   // phone-loop graphs have a handful of eps arcs.
   std::vector<int32_t> work;
@@ -123,7 +125,7 @@ void PropagateEpsilon(const PkcFst* fst, TokenMap* toks,
       if (dit == toks->end() || nc < dit->second.cost) {
         int64_t tr = tok.trace;
         if (arc.olabel != 0) {
-          arena->push_back(Trace{tok.trace, arc.olabel});
+          arena->push_back(Trace{tok.trace, arc.olabel, frame});
           tr = (int64_t)arena->size() - 1;
         }
         (*toks)[arc.dst] = Token{nc, tr};
@@ -152,14 +154,15 @@ double AdaptiveCutoff(const TokenMap& toks, double beam, int64_t max_active,
 
 }  // namespace
 
-int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
-                   int64_t S, double beam, int64_t max_active, double acwt,
-                   int32_t* out_labels, int64_t max_out) {
+int64_t pkc_decode_ctm(const PkcFst* fst, const float* loglikes, int64_t T,
+                       int64_t S, double beam, int64_t max_active, double acwt,
+                       int32_t* out_labels, int32_t* out_frames,
+                       int64_t max_out) {
   std::vector<Trace> arena;
   arena.reserve(4096);
   TokenMap cur;
   cur[fst->start] = Token{0.0, -1};
-  PropagateEpsilon(fst, &cur, &arena, kInf);
+  PropagateEpsilon(fst, &cur, &arena, kInf, 0);
 
   for (int64_t t = 0; t < T; ++t) {
     double best;
@@ -183,7 +186,8 @@ int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
         if (dit == next.end() || nc < dit->second.cost) {
           int64_t tr = tok.trace;
           if (arc.olabel != 0) {
-            arena.push_back(Trace{tok.trace, arc.olabel});
+            arena.push_back(Trace{tok.trace, arc.olabel,
+                                  static_cast<int32_t>(t)});
             tr = (int64_t)arena.size() - 1;
           }
           next[arc.dst] = Token{nc, tr};
@@ -194,7 +198,8 @@ int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
     if (next.empty()) return -1;  // decode failed (over-pruned)
     double nb;
     double eps_cutoff = AdaptiveCutoff(next, beam, max_active, &nb);
-    PropagateEpsilon(fst, &next, &arena, eps_cutoff);
+    PropagateEpsilon(fst, &next, &arena, eps_cutoff,
+                     static_cast<int32_t>(t));
     cur.swap(next);
   }
 
@@ -222,14 +227,26 @@ int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
     }
   }
 
-  // backtrace olabels
-  std::vector<int32_t> rev;
-  for (int64_t tr = best_trace; tr >= 0; tr = arena[tr].prev)
+  // backtrace olabels (+ frames)
+  std::vector<int32_t> rev, revf;
+  for (int64_t tr = best_trace; tr >= 0; tr = arena[tr].prev) {
     rev.push_back(arena[tr].olabel);
+    revf.push_back(arena[tr].frame);
+  }
   int64_t n = (int64_t)rev.size();
   if (n > max_out) n = max_out;
-  for (int64_t i = 0; i < n; ++i) out_labels[i] = rev[rev.size() - 1 - i];
+  for (int64_t i = 0; i < n; ++i) {
+    out_labels[i] = rev[rev.size() - 1 - i];
+    if (out_frames) out_frames[i] = revf[rev.size() - 1 - i];
+  }
   return n;
+}
+
+int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
+                   int64_t S, double beam, int64_t max_active, double acwt,
+                   int32_t* out_labels, int64_t max_out) {
+  return pkc_decode_ctm(fst, loglikes, T, S, beam, max_active, acwt,
+                        out_labels, nullptr, max_out);
 }
 
 }  // extern "C"

@@ -34,6 +34,14 @@ int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
                    int64_t S, double beam, int64_t max_active, double acwt,
                    int32_t* out_labels, int64_t max_out);
 
+// Like pkc_decode but also emits the frame index at which each output
+// label was hypothesized (CTM-style time alignment, the
+// lattice-to-ctm-conf role). out_frames must hold max_out entries.
+int64_t pkc_decode_ctm(const PkcFst* fst, const float* loglikes, int64_t T,
+                       int64_t S, double beam, int64_t max_active, double acwt,
+                       int32_t* out_labels, int32_t* out_frames,
+                       int64_t max_out);
+
 }  // extern "C"
 
 #endif  // PKC_NATIVE_DECODER_H_

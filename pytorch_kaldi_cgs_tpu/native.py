@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                ctypes.c_double, ctypes.c_int64,
                                ctypes.c_double, ctypes.c_void_p,
                                ctypes.c_int64]
+    lib.pkc_decode_ctm.restype = ctypes.c_int64
+    lib.pkc_decode_ctm.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_double, ctypes.c_int64,
+                                   ctypes.c_double, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -177,6 +183,24 @@ class NativeFst:
         if n < 0:
             raise RuntimeError("decode failed (beam too tight?)")
         return out[:n].tolist()
+
+    def decode_ctm(self, loglikes: np.ndarray, beam: float = 13.0,
+                   max_active: int = 7000, acwt: float = 0.2,
+                   frame_shift: float = 0.01):
+        """Best path with time alignment: list of (label, start_time_s)
+        — the lattice-to-ctm-conf role of the reference scoring path."""
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        T, S = ll.shape
+        out = np.zeros(4 * T + 16, np.int32)
+        frames = np.zeros(4 * T + 16, np.int32)
+        n = self._lib.pkc_decode_ctm(
+            self._fst, ll.ctypes.data_as(ctypes.c_void_p), T, S, beam,
+            max_active, acwt, out.ctypes.data_as(ctypes.c_void_p),
+            frames.ctypes.data_as(ctypes.c_void_p), len(out))
+        if n < 0:
+            raise RuntimeError("decode failed (beam too tight?)")
+        return [(int(out[i]), float(frames[i]) * frame_shift)
+                for i in range(n)]
 
     def __del__(self):
         try:

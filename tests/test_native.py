@@ -103,3 +103,17 @@ def test_decode_dnn_native_engine(tmp_path):
                      str(tmp_path / "text"), acwt=1.0, beam=20.0,
                      engine="native")
     assert res["wer"] == 0.0
+
+
+def test_native_ctm_alignment(tmp_path):
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 3, 2)
+    fst = N.NativeFst(fst_path)
+    # phones 0 for 10 frames, then 2 for 10 frames
+    pdfs = [0] * 5 + [1] * 5 + [4] * 5 + [5] * 5
+    ll = np.full((20, 6), -8.0, np.float32)
+    ll[np.arange(20), pdfs] = 0.0
+    ctm = fst.decode_ctm(ll, beam=20.0, acwt=1.0)
+    assert [l - 1 for l, _ in ctm] == [0, 2]
+    assert ctm[0][1] == 0.0
+    # phone 2 starts at frame 10 => 0.10 s
+    assert abs(ctm[1][1] - 0.10) < 0.021
