@@ -135,7 +135,12 @@ def build_hcgs_masks(shapes: Dict[str, tuple], blocks, sparse,
 
 class AcousticModel:
     """Base: subclasses set ``out_dim`` in __init__ and implement
-    ``init`` / ``apply``."""
+    ``init`` / ``apply``.
+
+    ``compute_dtype = bfloat16`` (per-arch option) runs the matmul
+    inputs in bf16 while keeping f32 parameters/accumulation — the
+    standard TPU mixed-precision recipe (halves HBM traffic on
+    activations/weights, doubles MXU rate)."""
 
     out_dim: int
 
@@ -144,6 +149,14 @@ class AcousticModel:
         self.input_dim = inp_dim
         self.to_do = options.get("to_do", "train")
         self.arch_name = options.get("arch_name", self.__class__.__name__)
+        cd = str(options.get("compute_dtype", "") or "").lower()
+        self.compute_dtype = jnp.bfloat16 if cd in ("bf16", "bfloat16") else None
+
+    def _cast_in(self, *arrays):
+        if self.compute_dtype is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        out = tuple(a.astype(self.compute_dtype) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     def init(self, seed: int) -> Dict[str, Any]:
         raise NotImplementedError

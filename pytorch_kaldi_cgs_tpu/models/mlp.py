@@ -117,7 +117,13 @@ class MLP(AcousticModel):
             else:
                 w = effective_weight(params["w%d" % i], masks, "w%d" % i,
                                      self.spec, i)
-                y = xin @ w.T + params["b%d" % i]
+                if self.compute_dtype is not None:
+                    xin_c, w_c = self._cast_in(xin, w)
+                    y = jnp.einsum("nf,of->no", xin_c, w_c,
+                                   preferred_element_type=jnp.float32)
+                    y = y + params["b%d" % i]
+                else:
+                    y = xin @ w.T + params["b%d" % i]
             if self.use_laynorm[i] and not self.use_batchnorm[i]:
                 y = layer_norm(params["ln%d" % i], y)
             elif self.use_batchnorm[i] and not self.use_laynorm[i]:

@@ -205,7 +205,10 @@ class _RecurrentBase(AcousticModel):
         else:
             W = self._stacked(params, masks, self.gates_x, i)
             xin = maybe_quant_input(x, self.spec)
-            proj = jnp.einsum("tbf,gf->tbg", xin, W)
+            if self.compute_dtype is not None:
+                xin, W = self._cast_in(xin, W)
+            proj = jnp.einsum("tbf,gf->tbg", xin, W,
+                              preferred_element_type=jnp.float32)
             outs = list(jnp.split(proj, len(self.gates_x), axis=-1))
         for k, g in enumerate(self.gates_x):
             bkey = "%s_b%d" % (g, i)
@@ -266,9 +269,20 @@ class _RecurrentBase(AcousticModel):
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
         raise NotImplementedError
 
+    def _rmm(self, h, U):
+        """Recurrent matmul with f32 accumulation (bf16 inputs when
+        compute_dtype is set)."""
+        hin = self._recurrent_input(h)
+        if self.compute_dtype is not None:
+            U = U.astype(self.compute_dtype)
+        return jnp.einsum("bh,gh->bg", hin, U,
+                          preferred_element_type=jnp.float32)
+
     def _recurrent_input(self, h):
         if self.spec.quant and self.spec.quant_inp:
-            return ste_quantize_input(h, self.spec.inp_quant[0])
+            h = ste_quantize_input(h, self.spec.inp_quant[0])
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
         return h
 
     # -- host-side refresh hooks ---------------------------------------
@@ -327,7 +341,7 @@ class LSTM(_RecurrentBase):
 
         def step(carry, g_t):
             h, c = carry
-            u = self._recurrent_input(h) @ U.T                    # (B,4H)
+            u = self._rmm(h, U)                                   # (B,4H)
             gf, gi, go, gc = jnp.split(g_t + u, 4, axis=-1)
             f = jax.nn.sigmoid(gf)
             i = jax.nn.sigmoid(gi)
@@ -357,10 +371,9 @@ class GRU(_RecurrentBase):
 
         def step(h, g_t):
             gh, gz, gr = jnp.split(g_t, 3, axis=-1)
-            hin = self._recurrent_input(h)
-            z = jax.nn.sigmoid(gz + hin @ Uz.T)
-            r = jax.nn.sigmoid(gr + hin @ Ur.T)
-            at = gh + self._recurrent_input(r * h) @ Uh.T
+            z = jax.nn.sigmoid(gz + self._rmm(h, Uz))
+            r = jax.nn.sigmoid(gr + self._rmm(h, Ur))
+            at = gh + self._rmm(r * h, Uh)
             hcand = act(at) * drop_mask
             h = z * h + (1 - z) * hcand
             if use_ln:
@@ -387,9 +400,8 @@ class liGRU(_RecurrentBase):
 
         def step(h, g_t):
             gh, gz = jnp.split(g_t, 2, axis=-1)
-            hin = self._recurrent_input(h)
-            z = jax.nn.sigmoid(gz + hin @ Uz.T)
-            hcand = act(gh + hin @ Uh.T) * drop_mask
+            z = jax.nn.sigmoid(gz + self._rmm(h, Uz))
+            hcand = act(gh + self._rmm(h, Uh)) * drop_mask
             h = z * h + (1 - z) * hcand
             if use_ln:
                 h = layer_norm(ln_p, h)
@@ -415,9 +427,8 @@ class minimalGRU(_RecurrentBase):
 
         def step(h, g_t):
             gh, gz = jnp.split(g_t, 2, axis=-1)
-            hin = self._recurrent_input(h)
-            z = jax.nn.sigmoid(gz + hin @ Uz.T)
-            at = gh + self._recurrent_input(z * h) @ Uh.T
+            z = jax.nn.sigmoid(gz + self._rmm(h, Uz))
+            at = gh + self._rmm(z * h, Uh)
             hcand = act(at) * drop_mask
             h = z * h + (1 - z) * hcand
             if use_ln:
@@ -441,7 +452,7 @@ class RNN(_RecurrentBase):
         h0 = jnp.zeros((B, H), wh.dtype)
 
         def step(h, g_t):
-            at = g_t + self._recurrent_input(h) @ U.T
+            at = g_t + self._rmm(h, U)
             h = act(at) * drop_mask
             if use_ln:
                 h = layer_norm(ln_p, h)

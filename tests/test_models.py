@@ -295,3 +295,17 @@ def test_mlp_block_sparse_path_matches_dense():
     y_d, _ = m_dense.apply(v, x, train=False)
     np.testing.assert_allclose(np.array(y_s), np.array(y_d), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bf16_compute_close_to_f32():
+    o = lstm_opts("32")
+    m32 = M.LSTM(dict(o), 12)
+    mbf = M.LSTM(dict(o, compute_dtype="bfloat16"), 12)
+    v = m32.init(0)
+    x = jnp.array(np.random.RandomState(0).randn(10, 3, 12), jnp.float32)
+    y32, _ = m32.apply(v, x, train=False)
+    ybf, _ = mbf.apply(v, x, train=False)
+    assert ybf.dtype == jnp.float32  # f32 accumulation/output
+    # bf16 matmul inputs: outputs close but not identical
+    assert np.abs(np.array(y32) - np.array(ybf)).max() < 0.05
+    assert not np.array_equal(np.array(y32), np.array(ybf))
