@@ -42,6 +42,38 @@ int64_t pkc_decode_ctm(const PkcFst* fst, const float* loglikes, int64_t T,
                        int32_t* out_labels, int32_t* out_frames,
                        int64_t max_out);
 
+// ---------------------------------------------------------------------------
+// Lattice generation (the `latgen` in latgen-faster-mapped).
+//
+// The lattice is a DAG over (frame, fst-state) nodes holding EVERY
+// within-beam transition the search survived, with graph and acoustic
+// costs stored separately so the lattice can be rescored with a
+// different acoustic scale afterwards. lat_beam prunes arcs whose best
+// path through them is worse than best_total + lat_beam
+// (forward-backward pruning, the `--lattice-beam` role).
+// ---------------------------------------------------------------------------
+
+typedef struct PkcLattice PkcLattice;
+
+PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
+                               int64_t T, int64_t S, double beam,
+                               double lat_beam, int64_t max_active,
+                               double acwt);
+void pkc_lattice_free(PkcLattice* lat);
+int64_t pkc_lattice_num_nodes(const PkcLattice* lat);
+int64_t pkc_lattice_num_arcs(const PkcLattice* lat);
+// Node metadata: frame index and final cost (inf if not final).
+void pkc_lattice_nodes(const PkcLattice* lat, int32_t* frames,
+                       double* final_costs);
+// Arc arrays (parallel, length num_arcs).
+void pkc_lattice_arcs(const PkcLattice* lat, int32_t* from, int32_t* to,
+                      int32_t* ilabels, int32_t* olabels, float* graph_costs,
+                      float* acoustic_costs);
+// Best path at a (possibly different) acoustic scale factor applied to
+// the stored acoustic costs: total = graph + scale * acoustic.
+int64_t pkc_lattice_best_path(const PkcLattice* lat, double ac_scale,
+                              int32_t* out_labels, int64_t max_out);
+
 }  // extern "C"
 
 #endif  // PKC_NATIVE_DECODER_H_

@@ -1,0 +1,329 @@
+// Lattice-generating beam search (see decoder.h). Shares the FST
+// structures of decoder.cc via its internal header-free layout — the
+// PkcFst definition is duplicated-by-include below to keep the C ABI
+// files independent of each other's internals.
+
+#include "decoder.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <limits>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+struct Arc {
+  int32_t dst;
+  int32_t ilabel;
+  int32_t olabel;
+  float cost;
+};
+}  // namespace
+
+// Must mirror decoder.cc's PkcFst layout exactly.
+struct PkcFst {
+  int32_t start = 0;
+  int64_t num_arcs = 0;
+  std::vector<double> final_cost;
+  std::vector<int64_t> arc_offset;
+  std::vector<Arc> arcs;
+};
+
+namespace {
+
+struct LatArc {
+  int32_t from, to;
+  int32_t ilabel, olabel;
+  float graph_cost, acoustic_cost;
+};
+
+struct LatNode {
+  int32_t frame;
+  int32_t state;
+  double final_cost = kInf;
+  double best_fwd = kInf;   // best cost from start to node
+  double best_bwd = kInf;   // best cost from node to any final
+};
+
+}  // namespace
+
+struct PkcLattice {
+  std::vector<LatNode> nodes;
+  std::vector<LatArc> arcs;
+  int32_t start_node = 0;
+};
+
+namespace {
+
+struct Tok {
+  double cost;
+  int32_t node;
+};
+
+using TokMap = std::unordered_map<int32_t, Tok>;
+
+int32_t GetNode(PkcLattice* lat, TokMap* toks,
+                std::unordered_map<int32_t, int32_t>* frame_nodes,
+                int32_t frame, int32_t state) {
+  auto it = frame_nodes->find(state);
+  if (it != frame_nodes->end()) return it->second;
+  lat->nodes.push_back(LatNode{frame, state});
+  int32_t id = (int32_t)lat->nodes.size() - 1;
+  (*frame_nodes)[state] = id;
+  return id;
+}
+
+double Cutoff(const TokMap& toks, double beam, int64_t max_active) {
+  double best = kInf;
+  for (auto& kv : toks) best = std::min(best, kv.second.cost);
+  double cutoff = best + beam;
+  if (max_active > 0 && (int64_t)toks.size() > max_active) {
+    std::vector<double> costs;
+    costs.reserve(toks.size());
+    for (auto& kv : toks) costs.push_back(kv.second.cost);
+    std::nth_element(costs.begin(), costs.begin() + max_active - 1,
+                     costs.end());
+    cutoff = std::min(cutoff, costs[max_active - 1]);
+  }
+  return cutoff;
+}
+
+// epsilon closure inside one frame: lattice arcs with 0 acoustic cost
+void EpsClosure(const PkcFst* fst, PkcLattice* lat, TokMap* toks,
+                std::unordered_map<int32_t, int32_t>* frame_nodes,
+                int32_t frame, double cutoff) {
+  std::vector<int32_t> work;
+  for (auto& kv : *toks) work.push_back(kv.first);
+  while (!work.empty()) {
+    int32_t s = work.back();
+    work.pop_back();
+    auto it = toks->find(s);
+    if (it == toks->end() || it->second.cost > cutoff) continue;
+    const Tok tok = it->second;
+    for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
+      const Arc& arc = fst->arcs[a];
+      if (arc.ilabel != 0) continue;
+      double nc = tok.cost + arc.cost;
+      if (nc > cutoff) continue;
+      int32_t dnode = GetNode(lat, toks, frame_nodes, frame, arc.dst);
+      lat->arcs.push_back(LatArc{tok.node, dnode, 0, arc.olabel,
+                                 arc.cost, 0.0f});
+      auto dit = toks->find(arc.dst);
+      if (dit == toks->end() || nc < dit->second.cost) {
+        (*toks)[arc.dst] = Tok{nc, dnode};
+        work.push_back(arc.dst);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
+                               int64_t T, int64_t S, double beam,
+                               double lat_beam, int64_t max_active,
+                               double acwt) {
+  auto* lat = new PkcLattice();
+  TokMap cur;
+  std::unordered_map<int32_t, int32_t> cur_nodes;
+  lat->nodes.push_back(LatNode{-1, fst->start});
+  lat->start_node = 0;
+  cur_nodes[fst->start] = 0;
+  cur[fst->start] = Tok{0.0, 0};
+  EpsClosure(fst, lat, &cur, &cur_nodes, -1, kInf);
+
+  for (int64_t t = 0; t < T; ++t) {
+    double cutoff = Cutoff(cur, beam, max_active);
+    TokMap next;
+    std::unordered_map<int32_t, int32_t> next_nodes;
+    const float* frame = loglikes + t * S;
+    for (auto& kv : cur) {
+      if (kv.second.cost > cutoff) continue;
+      const int32_t s = kv.first;
+      const Tok& tok = kv.second;
+      for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
+        const Arc& arc = fst->arcs[a];
+        if (arc.ilabel == 0) continue;
+        const int32_t pdf = arc.ilabel - 1;
+        if (pdf >= S) continue;
+        const double ac = -acwt * (double)frame[pdf];
+        double nc = tok.cost + arc.cost + ac;
+        if (nc > cutoff + beam) continue;  // loose pre-prune
+        int32_t dnode = GetNode(lat, &next, &next_nodes, (int32_t)t, arc.dst);
+        lat->arcs.push_back(LatArc{tok.node, dnode, arc.ilabel, arc.olabel,
+                                   arc.cost, (float)ac});
+        auto dit = next.find(arc.dst);
+        if (dit == next.end() || nc < dit->second.cost)
+          next[arc.dst] = Tok{nc, dnode};
+      }
+    }
+    if (next.empty()) {
+      delete lat;
+      return nullptr;
+    }
+    double ncut = Cutoff(next, beam, max_active);
+    // drop over-beam tokens (their arcs remain; backward prune removes them)
+    for (auto it = next.begin(); it != next.end();)
+      it = (it->second.cost > ncut) ? next.erase(it) : std::next(it);
+    EpsClosure(fst, lat, &next, &next_nodes, (int32_t)t, ncut);
+    cur.swap(next);
+    cur_nodes.swap(next_nodes);
+  }
+
+  // final costs
+  bool any_final = false;
+  for (auto& kv : cur) {
+    double fc = fst->final_cost[kv.first];
+    if (fc != kInf) {
+      lat->nodes[kv.second.node].final_cost = fc;
+      any_final = true;
+    }
+  }
+  if (!any_final)
+    for (auto& kv : cur) lat->nodes[kv.second.node].final_cost = 0.0;
+
+  // ---- forward/backward pruning at lat_beam (nodes are created in
+  // topological order: frame increases monotonically, eps arcs go to
+  // later-created nodes within a frame)
+  const int64_t N = (int64_t)lat->nodes.size();
+  for (auto& n : lat->nodes) {
+    n.best_fwd = kInf;
+    n.best_bwd = n.final_cost;
+  }
+  lat->nodes[lat->start_node].best_fwd = 0.0;
+  // arc append order is *nearly* topological (frames increase; within-
+  // frame eps arcs may point backwards) -> relax to fixpoint
+  for (int pass = 0; pass < 16; ++pass) {
+    bool changed = false;
+    for (auto& a : lat->arcs) {
+      double c = lat->nodes[a.from].best_fwd + a.graph_cost + a.acoustic_cost;
+      if (c < lat->nodes[a.to].best_fwd) {
+        lat->nodes[a.to].best_fwd = c;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+  for (int pass = 0; pass < 16; ++pass) {
+    bool changed = false;
+    for (int64_t i = (int64_t)lat->arcs.size() - 1; i >= 0; --i) {
+      auto& a = lat->arcs[i];
+      double c = lat->nodes[a.to].best_bwd + a.graph_cost + a.acoustic_cost;
+      if (c < lat->nodes[a.from].best_bwd) {
+        lat->nodes[a.from].best_bwd = c;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+  double best_total = lat->nodes[lat->start_node].best_bwd;
+  double keep = best_total + lat_beam;
+  // compact: keep arcs on paths within lat_beam of the best
+  std::vector<LatArc> kept;
+  kept.reserve(lat->arcs.size());
+  std::vector<int32_t> remap(N, -1);
+  std::vector<LatNode> knodes;
+  auto keep_node = [&](int32_t id) {
+    if (remap[id] < 0) {
+      remap[id] = (int32_t)knodes.size();
+      knodes.push_back(lat->nodes[id]);
+    }
+    return remap[id];
+  };
+  keep_node(lat->start_node);
+  for (auto& a : lat->arcs) {
+    double through = lat->nodes[a.from].best_fwd + a.graph_cost +
+                     a.acoustic_cost + lat->nodes[a.to].best_bwd;
+    if (through <= keep) {
+      int32_t f = keep_node(a.from);
+      int32_t to = keep_node(a.to);
+      kept.push_back(LatArc{f, to, a.ilabel, a.olabel, a.graph_cost,
+                            a.acoustic_cost});
+    }
+  }
+  lat->arcs.swap(kept);
+  lat->nodes.swap(knodes);
+  lat->start_node = 0;
+  return lat;
+}
+
+void pkc_lattice_free(PkcLattice* lat) { delete lat; }
+
+int64_t pkc_lattice_num_nodes(const PkcLattice* lat) {
+  return (int64_t)lat->nodes.size();
+}
+int64_t pkc_lattice_num_arcs(const PkcLattice* lat) {
+  return (int64_t)lat->arcs.size();
+}
+
+void pkc_lattice_nodes(const PkcLattice* lat, int32_t* frames,
+                       double* final_costs) {
+  for (size_t i = 0; i < lat->nodes.size(); ++i) {
+    frames[i] = lat->nodes[i].frame;
+    final_costs[i] = lat->nodes[i].final_cost;
+  }
+}
+
+void pkc_lattice_arcs(const PkcLattice* lat, int32_t* from, int32_t* to,
+                      int32_t* ilabels, int32_t* olabels, float* graph_costs,
+                      float* acoustic_costs) {
+  for (size_t i = 0; i < lat->arcs.size(); ++i) {
+    const LatArc& a = lat->arcs[i];
+    from[i] = a.from;
+    to[i] = a.to;
+    ilabels[i] = a.ilabel;
+    olabels[i] = a.olabel;
+    graph_costs[i] = a.graph_cost;
+    acoustic_costs[i] = a.acoustic_cost;
+  }
+}
+
+int64_t pkc_lattice_best_path(const PkcLattice* lat, double ac_scale,
+                              int32_t* out_labels, int64_t max_out) {
+  const int64_t N = (int64_t)lat->nodes.size();
+  std::vector<double> best(N, kInf);
+  std::vector<int64_t> best_arc(N, -1);
+  best[lat->start_node] = 0.0;
+  for (int pass = 0; pass < 16; ++pass) {
+    bool changed = false;
+    for (size_t i = 0; i < lat->arcs.size(); ++i) {
+      const LatArc& a = lat->arcs[i];
+      double c = best[a.from] + a.graph_cost + ac_scale * a.acoustic_cost;
+      if (c < best[a.to]) {
+        best[a.to] = c;
+        best_arc[a.to] = (int64_t)i;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+  double best_total = kInf;
+  int32_t best_node = -1;
+  for (int64_t i = 0; i < N; ++i) {
+    if (lat->nodes[i].final_cost == kInf) continue;
+    double c = best[i] + lat->nodes[i].final_cost;
+    if (c < best_total) {
+      best_total = c;
+      best_node = (int32_t)i;
+    }
+  }
+  if (best_node < 0) return -1;
+  std::vector<int32_t> rev;
+  int32_t node = best_node;
+  while (node != lat->start_node && best_arc[node] >= 0) {
+    const LatArc& a = lat->arcs[best_arc[node]];
+    if (a.olabel != 0) rev.push_back(a.olabel);
+    node = a.from;
+  }
+  int64_t n = (int64_t)rev.size();
+  if (n > max_out) n = max_out;
+  for (int64_t i = 0; i < n; ++i) out_labels[i] = rev[rev.size() - 1 - i];
+  return n;
+}
+
+}  // extern "C"

@@ -75,6 +75,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_double, ctypes.c_int64,
                                    ctypes.c_double, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
+    lib.pkc_decode_lattice.restype = ctypes.c_void_p
+    lib.pkc_decode_lattice.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_double, ctypes.c_double,
+                                       ctypes.c_int64, ctypes.c_double]
+    lib.pkc_lattice_free.argtypes = [ctypes.c_void_p]
+    lib.pkc_lattice_num_nodes.restype = ctypes.c_int64
+    lib.pkc_lattice_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.pkc_lattice_num_arcs.restype = ctypes.c_int64
+    lib.pkc_lattice_num_arcs.argtypes = [ctypes.c_void_p]
+    lib.pkc_lattice_nodes.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p]
+    lib.pkc_lattice_arcs.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    lib.pkc_lattice_best_path.restype = ctypes.c_int64
+    lib.pkc_lattice_best_path.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                          ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -202,9 +218,93 @@ class NativeFst:
         return [(int(out[i]), float(frames[i]) * frame_shift)
                 for i in range(n)]
 
+    def decode_lattice(self, loglikes: np.ndarray, beam: float = 13.0,
+                       lat_beam: float = 8.0, max_active: int = 7000,
+                       acwt: float = 0.2) -> "Lattice":
+        """Lattice-generating decode (the `latgen` role): all within-beam
+        paths, graph/acoustic costs separated for rescoring."""
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        T, S = ll.shape
+        ptr = self._lib.pkc_decode_lattice(
+            self._fst, ll.ctypes.data_as(ctypes.c_void_p), T, S,
+            beam, lat_beam, max_active, acwt)
+        if not ptr:
+            raise RuntimeError("lattice decode failed (beam too tight?)")
+        return Lattice(self._lib, ptr)
+
     def __del__(self):
         try:
             self._lib.pkc_fst_free(self._fst)
+        except Exception:
+            pass
+
+
+class Lattice:
+    """Pruned word/phone lattice over (frame, state) nodes.
+
+    Arc arrays keep graph and acoustic costs separate, so
+    ``best_path(ac_scale)`` rescoring sweeps (the lattice-rescoring role
+    of the reference's lmwt loop) need no re-decode.
+    """
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+        n_nodes = lib.pkc_lattice_num_nodes(ptr)
+        n_arcs = lib.pkc_lattice_num_arcs(ptr)
+        self.frames = np.zeros(n_nodes, np.int32)
+        self.final_costs = np.zeros(n_nodes, np.float64)
+        lib.pkc_lattice_nodes(ptr, self.frames.ctypes.data_as(ctypes.c_void_p),
+                              self.final_costs.ctypes.data_as(ctypes.c_void_p))
+        self.src = np.zeros(n_arcs, np.int32)
+        self.dst = np.zeros(n_arcs, np.int32)
+        self.ilabels = np.zeros(n_arcs, np.int32)
+        self.olabels = np.zeros(n_arcs, np.int32)
+        self.graph_costs = np.zeros(n_arcs, np.float32)
+        self.acoustic_costs = np.zeros(n_arcs, np.float32)
+        lib.pkc_lattice_arcs(ptr, *(a.ctypes.data_as(ctypes.c_void_p) for a in
+                                    (self.src, self.dst, self.ilabels,
+                                     self.olabels, self.graph_costs,
+                                     self.acoustic_costs)))
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.frames)
+
+    @property
+    def num_arcs(self) -> int:
+        return len(self.src)
+
+    def best_path(self, ac_scale: float = 1.0) -> List[int]:
+        out = np.zeros(self.num_arcs + 16, np.int32)
+        n = self._lib.pkc_lattice_best_path(
+            self._ptr, ac_scale, out.ctypes.data_as(ctypes.c_void_p), len(out))
+        if n < 0:
+            raise RuntimeError("no final path in lattice")
+        return out[:n].tolist()
+
+    def rescore_sweep(self, scales) -> Dict[float, List[int]]:
+        """Best path per acoustic-scale factor — the lattice equivalent
+        of the reference's lmwt 1..10 scoring loop, without re-decoding."""
+        return {s: self.best_path(s) for s in scales}
+
+    def write_text(self, path: str) -> str:
+        """Kaldi-style text lattice: 'src dst olabel ilabel gc,ac' lines
+        + final lines."""
+        with open(path, "w") as f:
+            for i in range(self.num_arcs):
+                f.write("%d %d %d %d %.4f,%.4f\n" % (
+                    self.src[i], self.dst[i], self.olabels[i],
+                    self.ilabels[i], self.graph_costs[i],
+                    self.acoustic_costs[i]))
+            for n in range(self.num_nodes):
+                if np.isfinite(self.final_costs[n]):
+                    f.write("%d %.4f\n" % (n, self.final_costs[n]))
+        return path
+
+    def __del__(self):
+        try:
+            self._lib.pkc_lattice_free(self._ptr)
         except Exception:
             pass
 

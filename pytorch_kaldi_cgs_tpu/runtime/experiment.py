@@ -239,8 +239,15 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
     require_decoding = [strtobool(v) for v in
                         config["forward"]["require_decoding"].split(",")]
     if not is_production and config.has_section("decoding"):
-        from ..decode.decode_dnn import decode_dnn
+        from ..decode.decode_dnn import decode_dnn, decode_dnn_sweep
         acwt = float(config["decoding"].get("acwt", 0.2))
+        scoring_opts = config["decoding"].get("scoring_opts", "")
+        m_min = re.search(r"--min-lmwt (\d+)", scoring_opts)
+        m_max = re.search(r"--max-lmwt (\d+)", scoring_opts)
+        sweep = bool(m_min and m_max and
+                     int(m_max.group(1)) > int(m_min.group(1)))
+        beam = float(config["decoding"].get("beam", 13.0))
+        max_active = int(config["decoding"].get("max_active", 7000))
         for fwd_data in forward_lst:
             sec = cfg_item2sec(config, "data_name", fwd_data)
             lab_names, lab_folders, _ = parse_lab_field(config[sec]["lab"])
@@ -258,10 +265,19 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                 dec_dir = os.path.join(out_folder,
                                        "decode_%s_out_%s" % (fwd_data, fo))
                 try:
-                    res = decode_dnn(dec_dir, ark_glob, graph_dir, text_file,
-                                     acwt=acwt)
-                    line = "%%WER %.2f [decode_%s_out_%s]" % (
-                        res["wer"], fwd_data, fo)
+                    if sweep:
+                        res = decode_dnn_sweep(
+                            dec_dir, ark_glob, graph_dir, text_file,
+                            min_lmwt=int(m_min.group(1)),
+                            max_lmwt=int(m_max.group(1)),
+                            beam=beam, max_active=max_active)
+                    else:
+                        res = decode_dnn(dec_dir, ark_glob, graph_dir,
+                                         text_file, acwt=acwt, beam=beam,
+                                         max_active=max_active)
+                    line = "%%WER %.2f [decode_%s_out_%s%s]" % (
+                        res["wer"], fwd_data, fo,
+                        " lmwt=%d" % res["lmwt"] if "lmwt" in res else "")
                     print(line)
                     res_file.write(line + "\n")
                     results["wer_%s_%s" % (fwd_data, fo)] = res["wer"]

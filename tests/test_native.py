@@ -117,3 +117,38 @@ def test_native_ctm_alignment(tmp_path):
     assert ctm[0][1] == 0.0
     # phone 2 starts at frame 10 => 0.10 s
     assert abs(ctm[1][1] - 0.10) < 0.021
+
+
+def test_lattice_generation_and_rescoring(tmp_path):
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 4, 2)
+    fst = N.NativeFst(fst_path)
+    rng = np.random.RandomState(11)
+    # ambiguous posteriors -> nontrivial lattice
+    T = 40
+    ll = np.log(rng.dirichlet(np.ones(8) * 0.5, size=T)).astype(np.float32)
+    lat = fst.decode_lattice(ll, beam=30.0, lat_beam=10.0, acwt=1.0)
+    assert lat.num_nodes > T            # alternatives kept
+    assert lat.num_arcs > lat.num_nodes
+    # best path at stored scale == direct decode best path
+    direct = fst.decode(ll, beam=30.0, max_active=0, acwt=1.0)
+    assert lat.best_path(1.0) == direct
+    # rescoring sweep returns plausible (possibly different) paths
+    sweep = lat.rescore_sweep([0.5, 1.0, 2.0])
+    assert all(len(v) >= 1 for v in sweep.values())
+    # text lattice round-trips through the file system
+    p = lat.write_text(str(tmp_path / "lat.txt"))
+    lines = open(p).read().strip().split("\n")
+    assert len(lines) == lat.num_arcs + np.isfinite(lat.final_costs).sum()
+
+
+def test_lattice_oracle_single_path(tmp_path):
+    """Sharp posteriors + tight lat_beam -> lattice collapses to ~1 path."""
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 3, 2)
+    fst = N.NativeFst(fst_path)
+    pdfs = [0]*4 + [1]*4 + [2]*4 + [3]*4
+    ll = np.full((16, 6), -20.0, np.float32)
+    ll[np.arange(16), pdfs] = 0.0
+    lat = fst.decode_lattice(ll, beam=10.0, lat_beam=0.1, acwt=1.0)
+    assert [l - 1 for l in lat.best_path(1.0)] == [0, 1]
+    # near-deterministic: arcs ~= frames + eps transitions
+    assert lat.num_arcs <= 16 + 8
