@@ -140,3 +140,42 @@ def test_gather_blocks_multi_matches_pack(layout_and_w):
     packed = B.pack_blocks_multi(ws, layout)
     gathered = B.gather_blocks_multi([jnp.asarray(v) for v in ws], layout)
     np.testing.assert_allclose(np.array(gathered), packed)
+
+
+def test_v3_forward_and_grads(layout_and_w):
+    """Deep-contraction v3 kernels vs dense reference (interpret mode)."""
+    mask, layout, w, wp = layout_and_w
+    G = 4
+    rng = np.random.RandomState(13)
+    ws = [rng.randn(32, 48).astype(np.float32) * mask for _ in range(G)]
+    ws_j = [jnp.asarray(v) for v in ws]
+    x = jnp.asarray(rng.randn(16, 48).astype(np.float32))
+    g_out = rng.randn(G, 16, 32).astype(np.float32)
+
+    def f(x, ws_list):
+        w3, w3csc = B.gather_v3(ws_list, layout)
+        ys = B.block_sparse_matmul_v3(x, w3, w3csc, layout, G, tile_m=8,
+                                      interpret=True)
+        return ys
+
+    ys = f(x, ws_j)
+    for g in range(G):
+        np.testing.assert_allclose(np.array(ys[g]), np.array(x) @ ws[g].T,
+                                   rtol=1e-4, atol=1e-4)
+
+    def loss(x, ws_list):
+        return jnp.sum(f(x, ws_list) * jnp.asarray(g_out))
+
+    dx, dws = jax.grad(loss, argnums=(0, 1))(x, ws_j)
+    wd = jnp.asarray(np.stack(ws))
+
+    def loss_ref(x, wd):
+        return jnp.sum(jnp.einsum("mk,gnk->gmn", x, wd) * jnp.asarray(g_out))
+
+    dx_r, dw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wd)
+    np.testing.assert_allclose(np.array(dx), np.array(dx_r), rtol=1e-4,
+                               atol=1e-4)
+    for g in range(G):
+        np.testing.assert_allclose(np.array(dws[g]),
+                                   np.array(dw_r)[g] * mask,
+                                   rtol=1e-4, atol=1e-4)
