@@ -122,7 +122,14 @@ def _runner_key(config, chunk: ChunkData):
 
 
 class ChunkRunner:
-    """Jitted step builders for one chunk config."""
+    """Jitted step builders for one chunk config.
+
+    When ``[exp] multi_gpu = True`` (the reference's DataParallel flag,
+    ref: utils.py:1781-1784) and more than one device is visible, the
+    batch axis is sharded over a 1-D "data" mesh: params/masks/opt state
+    replicate, the loss mean's psum rides the interconnect — GSPMD
+    places the gradient all-reduce exactly where DataParallel's NCCL
+    allreduce sat."""
 
     def __init__(self, graph: NetGraph, config):
         self.graph = graph
@@ -134,6 +141,28 @@ class ChunkRunner:
         self._train_step = None
         self._eval_step = None
         self._fwd_step = None
+        self.mesh = None
+        if strtobool(config["exp"].get("multi_gpu", "False")) and \
+                jax.device_count() > 1:
+            from ..parallel import make_mesh
+            self.mesh = make_mesh()
+
+    def shard_batch(self, inp, mask=None):
+        """Place a batch on the data mesh (no-op single device). Seq
+        batches are (T, B, C): batch axis 1; flat batches (N, C): axis 0."""
+        if self.mesh is None:
+            return jnp.asarray(inp), None if mask is None else jnp.asarray(mask)
+        from ..parallel import batch_sharding
+        axis = 1 if np.ndim(inp) == 3 else 0
+        n_data = self.mesh.shape["data"]
+        if inp.shape[axis] % n_data:
+            return jnp.asarray(inp), None if mask is None else jnp.asarray(mask)
+        inp_s = jax.device_put(inp, batch_sharding(self.mesh, np.ndim(inp), axis))
+        mask_s = None
+        if mask is not None:
+            mask_s = jax.device_put(mask, batch_sharding(self.mesh,
+                                                         np.ndim(mask), axis))
+        return inp_s, mask_s
 
     # ------------------------------------------------------------------
     def init_opt_states(self, variables):
@@ -342,13 +371,12 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
                     chunk, batch_size, to_do == "train", rng_np):
                 rng, sub = jax.random.split(rng)
                 timer.start()
+                inp_d, mask_d = runner.shard_batch(inp, mask)
                 if to_do == "train":
                     variables, opt_states, loss, err = step(
-                        variables, opt_states, jnp.asarray(inp),
-                        jnp.asarray(mask), sub)
+                        variables, opt_states, inp_d, mask_d, sub)
                 else:
-                    loss, err = step(variables, jnp.asarray(inp),
-                                     jnp.asarray(mask))
+                    loss, err = step(variables, inp_d, mask_d)
                 loss_sum += float(loss)
                 err_sum += float(err)
                 timer.stop()
@@ -362,11 +390,12 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
             for inp in make_flat_batches(chunk, batch_size):
                 rng, sub = jax.random.split(rng)
                 timer.start()
+                inp_d, _ = runner.shard_batch(inp)
                 if to_do == "train":
                     variables, opt_states, loss, err = step(
-                        variables, opt_states, jnp.asarray(inp), None, sub)
+                        variables, opt_states, inp_d, None, sub)
                 else:
-                    loss, err = step(variables, jnp.asarray(inp), None)
+                    loss, err = step(variables, inp_d, None)
                 loss_sum += float(loss)
                 err_sum += float(err)
                 timer.stop()

@@ -155,3 +155,24 @@ def test_end_to_end_lstm_hcgs(synth_root):
         if any(k.startswith("hcgs_") for k in ck["model_par"].get("masks", {})):
             found_mask = True
     assert found_mask
+
+
+def test_end_to_end_multi_device_dp(synth_root):
+    """[exp] multi_gpu=True shards batches over the 8-device CPU mesh
+    (the reference's DataParallel flag, ref: utils.py:1781-1784)."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_dp")
+    cfg = make_synth_cfg(str(tmp / "dp.cfg"), root, out_folder,
+                         model="MLP", hidden=32, n_epochs=1, n_chunks=2,
+                         batch_size=128, lr=0.06, cw=1)
+    # enable the DP flag
+    text = open(cfg).read().replace("multi_gpu = False", "multi_gpu = True")
+    open(cfg, "w").write(text)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    infos = sorted(glob.glob(os.path.join(out_folder, "exp_files",
+                                          "train_*.info")))
+    assert infos
+    c = configparser.ConfigParser()
+    c.read(infos[-1])
+    assert float(c["results"]["err"]) < 0.8
