@@ -76,6 +76,9 @@ class _RecurrentBase(AcousticModel):
         self.act_names = options[p + "_act"].split(",")
         self.orthinit = opt_bool(options, p + "_orthinit", True)
         self.bidir = opt_bool(options, p + "_bidir")
+        # lax.scan unroll factor: amortizes per-step loop overhead of the
+        # recurrence (small-batch scans are dispatch-bound on TPU)
+        self.scan_unroll = int(options.get("scan_unroll", 4) or 4)
         self.spec = CompressionSpec(options, p)
         self.N = len(self.lay)
         self._acts = [act_fun(a) for a in self.act_names]
@@ -352,7 +355,7 @@ class LSTM(_RecurrentBase):
                 h = layer_norm(ln_p, h)
             return (h, c), h
 
-        _, hs = jax.lax.scan(step, (h0, h0), gates_t)
+        _, hs = jax.lax.scan(step, (h0, h0), gates_t, unroll=self.scan_unroll)
         return hs
 
 
@@ -380,7 +383,7 @@ class GRU(_RecurrentBase):
                 h = layer_norm(ln_p, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, gates_t)
+        _, hs = jax.lax.scan(step, h0, gates_t, unroll=self.scan_unroll)
         return hs
 
 
@@ -407,7 +410,7 @@ class liGRU(_RecurrentBase):
                 h = layer_norm(ln_p, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, gates_t)
+        _, hs = jax.lax.scan(step, h0, gates_t, unroll=self.scan_unroll)
         return hs
 
 
@@ -435,7 +438,7 @@ class minimalGRU(_RecurrentBase):
                 h = layer_norm(ln_p, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, gates_t)
+        _, hs = jax.lax.scan(step, h0, gates_t, unroll=self.scan_unroll)
         return hs
 
 
@@ -458,7 +461,7 @@ class RNN(_RecurrentBase):
                 h = layer_norm(ln_p, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, wh)
+        _, hs = jax.lax.scan(step, h0, wh, unroll=self.scan_unroll)
         return hs
 
 
@@ -479,6 +482,7 @@ class _CudnnBase(AcousticModel):
         self.bias = opt_bool(options, "bias", True)
         self.bidirectional = opt_bool(options, "bidirectional", False)
         self.dropout_p = float(options.get("dropout", 0.0) or 0.0)
+        self.scan_unroll = int(options.get("scan_unroll", 4) or 4)
         self.out_dim = self.hidden_size * (2 if self.bidirectional else 1)
 
     def init(self, seed: int) -> Dict[str, Any]:
@@ -550,7 +554,7 @@ class LSTM_cudnn(_CudnnBase):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        _, hs = jax.lax.scan(step, (h0, h0), proj)
+        _, hs = jax.lax.scan(step, (h0, h0), proj, unroll=self.scan_unroll)
         return hs
 
 
@@ -573,7 +577,7 @@ class GRU_cudnn(_CudnnBase):
             h = (1 - z) * n + z * h
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, proj)
+        _, hs = jax.lax.scan(step, h0, proj, unroll=self.scan_unroll)
         return hs
 
 
@@ -594,5 +598,5 @@ class RNN_cudnn(_CudnnBase):
             h = act(g_t + h @ W_hh.T + b_hh)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, proj)
+        _, hs = jax.lax.scan(step, h0, proj, unroll=self.scan_unroll)
         return hs
