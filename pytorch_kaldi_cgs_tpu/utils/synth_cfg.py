@@ -102,7 +102,7 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    hcgs: bool = False, hcgs_block: str = "32,4",
                    hcgs_sparse: str = "25,50", quant: bool = False,
                    param_quant: str = "8", quant_inp: bool = False,
-                   inp_quant: int = 16,
+                   inp_quant: int = 16, lmwt_sweep: bool = True,
                    extra_arch_lines: Optional[str] = None) -> str:
     """Create <cfg_path> wiring the synthetic dataset at ``data_root``
     into a train/valid/forward experiment with the given flagship arch
@@ -220,9 +220,11 @@ latbeam = 8.0
 acwt = 0.2
 max_arcs = -1
 skip_scoring = false
-scoring_opts = "--min-lmwt 1 --max-lmwt 10"
+scoring_opts = "{scoring_opts}"
 norm_vars = False
-""".format(out_folder=out_folder, seed=seed, n_epochs=n_epochs,
+""".format(scoring_opts="--min-lmwt 1 --max-lmwt 10" if lmwt_sweep
+           else "--min-lmwt 5 --max-lmwt 5",
+           out_folder=out_folder, seed=seed, n_epochs=n_epochs,
            ds1=dataset_block(1, "synth_tr", "train"),
            ds2=dataset_block(2, "synth_dev", "dev"),
            ds3=dataset_block(3, "synth_test", "test"),
