@@ -5,9 +5,13 @@ and prints PER plus decode real-time factors. Run on any backend:
 
     python examples/golden_synth.py [out_dir]
 
-Expected results (CPU, seeds fixed): MLP PER < 30 after 4 epochs;
-LSTM+HCGS+8-bit PER < 40 after 3 epochs. On the synthetic task chance
-PER is ~95%+ (24-phone vocabulary with insertions scored).
+Golden results (CPU, seeds fixed, measured 2026-08-17):
+    {"mlp_per": 0.0, "lstm_hcgs_per": 0.0}
+— both the dense MLP and the HCGS(16/4-block 25/50%)+8-bit LSTM learn
+the synthetic task to 0.0 PER through the complete pipeline
+(train → newbob → forward → prior normalization → phone-loop decode →
+scoring). Chance PER on this task is >90%. The assertions below allow
+slack (<10 / <20) for backend numeric drift.
 """
 
 import json
@@ -53,8 +57,8 @@ def main(out_root=None):
     results["lstm_wall_s"] = round(time.time() - t0, 1)
 
     print(json.dumps(results))
-    ok = (results["mlp_per"] is not None and results["mlp_per"] < 30.0 and
-          results["lstm_hcgs_per"] is not None and results["lstm_hcgs_per"] < 60.0)
+    ok = (results["mlp_per"] is not None and results["mlp_per"] < 10.0 and
+          results["lstm_hcgs_per"] is not None and results["lstm_hcgs_per"] < 20.0)
     return 0 if ok else 1
 
 

@@ -70,6 +70,11 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
     out_folder = config["exp"]["out_folder"]
     os.makedirs(os.path.join(out_folder, "exp_files"), exist_ok=True)
 
+    # per-experiment isolation: block-sparse layouts are jit-trace
+    # constants derived from this experiment's masks
+    from .chunk import _RUNNER_CACHE
+    _RUNNER_CACHE.clear()
+
     # validated + expanded config; persist as conf.cfg (ref: run_exp.py:78)
     config, name_data, name_arch = check_cfg(
         cfg_file, config, config["cfg_proto"]["cfg_proto"])
