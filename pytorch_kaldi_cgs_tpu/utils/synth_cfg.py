@@ -95,6 +95,26 @@ skip_regularization = True
 """
 
 
+_RNN_TEMPLATE = """\
+arch_name = {cls}_layers
+arch_proto = proto/{proto}.proto
+arch_library = pytorch_kaldi_cgs_tpu.models
+arch_class = {cls}
+arch_pretrain_file = none
+arch_freeze = False
+arch_seq_model = True
+{p}_lay = {hidden},{hidden}
+{p}_drop = 0.0,0.0
+{p}_use_laynorm_inp = False
+{p}_use_batchnorm_inp = False
+{p}_use_laynorm = False,False
+{p}_use_batchnorm = True,True
+{p}_bidir = False
+{p}_act = {act},{act}
+{p}_orthinit = True
+"""
+
+
 def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    model: str = "MLP", hidden: int = 128, n_epochs: int = 2,
                    n_chunks: int = 2, batch_size: int = 128, lr: float = 0.08,
@@ -103,16 +123,34 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    hcgs_sparse: str = "25,50", quant: bool = False,
                    param_quant: str = "8", quant_inp: bool = False,
                    inp_quant: int = 16, lmwt_sweep: bool = True,
+                   guided: bool = False, apply_guided_ep: Optional[int] = None,
+                   pattern: bool = False, pattern_shape: str = "4,4",
+                   pattern_nnz: int = 4, pattern_num: int = 8,
+                   multitask_mono: bool = False,
                    extra_arch_lines: Optional[str] = None) -> str:
     """Create <cfg_path> wiring the synthetic dataset at ``data_root``
     into a train/valid/forward experiment with the given flagship arch
     (MLP: direct softmax output; LSTM: LSTM + MLP softmax head)."""
+    extra_sparsity = ""
+    if guided:
+        extra_sparsity += "guided_hcgs = True\n"
+    if pattern:
+        extra_sparsity += ("if_pattern = True\npattern_mode = pattern\n"
+                           "pattern_shape = %s\npattern_nnz = %d\n"
+                           "pattern_num = %d\n" % (pattern_shape, pattern_nnz,
+                                                    pattern_num))
+
+    def _fix_guided(block: str) -> str:
+        if guided:
+            block = block.replace("guided_hcgs = False", "", 1)
+        return block + extra_sparsity
+
     if model == "MLP":
         arch1 = _ARCH_TEMPLATES["MLP"].format(hidden=hidden) + _OPT.format(lr=lr, opt=opt)
-        arch1 += _SPARSITY_MLP.format(hcgs=hcgs, hcgs_block=hcgs_block,
+        arch1 += _fix_guided(_SPARSITY_MLP.format(hcgs=hcgs, hcgs_block=hcgs_block,
                                       hcgs_sparse=hcgs_sparse, quant=quant,
                                       param_quant=param_quant, quant_inp=quant_inp,
-                                      inp_quant=inp_quant)
+                                      inp_quant=inp_quant))
         arch_secs = "[architecture1]\n" + arch1
         model_field = """model = out_dnn1=compute(MLP_layers,feats)
 \tloss_final=cost_nll(out_dnn1,lab_cd)
@@ -121,10 +159,10 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
         seq_flag = "False"
     elif model == "LSTM":
         arch1 = _ARCH_TEMPLATES["LSTM"].format(hidden=hidden) + _OPT.format(lr=lr, opt=opt)
-        arch1 += _SPARSITY_LSTM.format(hcgs=hcgs, hcgs_block=hcgs_block,
+        arch1 += _fix_guided(_SPARSITY_LSTM.format(hcgs=hcgs, hcgs_block=hcgs_block,
                                        hcgs_sparse=hcgs_sparse, quant=quant,
                                        param_quant=param_quant, quant_inp=quant_inp,
-                                       inp_quant=inp_quant)
+                                       inp_quant=inp_quant))
         arch2 = ("arch_name = MLP_out\narch_proto = proto/MLP.proto\n"
                  "arch_library = pytorch_kaldi_cgs_tpu.models\narch_class = MLP\n"
                  "arch_pretrain_file = none\narch_freeze = False\n"
@@ -140,8 +178,52 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
 \terr_final=cost_err(out_dnn1,lab_cd)"""
         forward_out = "out_dnn1"
         seq_flag = "True"
+    elif model in ("GRU", "liGRU", "minimalGRU", "RNN"):
+        prefix = {"GRU": "gru", "liGRU": "ligru",
+                  "minimalGRU": "minimalgru", "RNN": "rnn"}[model]
+        proto = {"GRU": "GRU", "liGRU": "liGRU",
+                 "minimalGRU": "minimalGRU", "RNN": "RNN"}[model]
+        act = "relu" if model == "liGRU" else "tanh"
+        arch1 = _RNN_TEMPLATE.format(cls=model, proto=proto, p=prefix,
+                                     hidden=hidden, act=act)
+        arch1 += _OPT.format(lr=lr, opt=opt) + "skip_regularization = True\n"
+        arch2 = ("arch_name = MLP_out\narch_proto = proto/MLP.proto\n"
+                 "arch_library = pytorch_kaldi_cgs_tpu.models\narch_class = MLP\n"
+                 "arch_pretrain_file = none\narch_freeze = False\n"
+                 "arch_seq_model = False\n"
+                 "dnn_lay = N_out_lab_cd\ndnn_drop = 0.0\n"
+                 "dnn_use_laynorm_inp = False\ndnn_use_batchnorm_inp = False\n"
+                 "dnn_use_batchnorm = False\ndnn_use_laynorm = False\n"
+                 "dnn_act = softmax\n") + _OPT.format(lr=lr, opt=opt)
+        arch_secs = "[architecture1]\n" + arch1 + "\n[architecture2]\n" + arch2
+        model_field = """model = out_rnn=compute(%s_layers,feats)
+\tout_dnn1=compute(MLP_out,out_rnn)
+\tloss_final=cost_nll(out_dnn1,lab_cd)
+\terr_final=cost_err(out_dnn1,lab_cd)""" % model
+        forward_out = "out_dnn1"
+        seq_flag = "True"
     else:
         raise ValueError("unknown flagship model %r" % model)
+
+    # multitask mono head: cd + weighted mono loss (the reference
+    # flagship wiring, cfg/TIMIT_CGS/*.cfg [model])
+    if multitask_mono and model != "MLP":
+        arch3 = ("arch_name = MLP_mono\narch_proto = proto/MLP.proto\n"
+                 "arch_library = pytorch_kaldi_cgs_tpu.models\narch_class = MLP\n"
+                 "arch_pretrain_file = none\narch_freeze = False\n"
+                 "arch_seq_model = False\n"
+                 "dnn_lay = N_out_lab_mono\ndnn_drop = 0.0\n"
+                 "dnn_use_laynorm_inp = False\ndnn_use_batchnorm_inp = False\n"
+                 "dnn_use_batchnorm = False\ndnn_use_laynorm = False\n"
+                 "dnn_act = softmax\n") + _OPT.format(lr=lr, opt=opt)
+        arch_secs += "\n[architecture3]\n" + arch3
+        model_field = model_field.replace(
+            "\tloss_final=cost_nll(out_dnn1,lab_cd)",
+            "\tout_mono=compute(MLP_mono,out_rnn)\n"
+            "\tloss_mono=cost_nll(out_mono,lab_mono)\n"
+            "\tloss_mono_w=mult_constant(loss_mono,1.0)\n"
+            "\tloss_cd=cost_nll(out_dnn1,lab_cd)\n"
+            "\tloss_final=sum(loss_cd,loss_mono_w)")
 
     if extra_arch_lines:
         arch_secs += "\n" + extra_arch_lines
@@ -159,10 +241,17 @@ lab = lab_name=lab_cd
 \tlab_opts=ali-to-pdf
 \tlab_count_file=auto
 \tlab_data_folder={root}/{split}/
-\tlab_graph={root}/graph
+\tlab_graph={root}/graph{mono}
 N_chunks = {n_chunks}
 """.format(idx=idx, name=name, root=data_root, split=split, cw=cw,
-           n_chunks=n_chunks)
+           n_chunks=n_chunks,
+           mono=("\n\n\tlab_name=lab_mono"
+                 "\n\tlab_folder={root}/{split}_ali"
+                 "\n\tlab_opts=ali-to-phones --per-frame=true"
+                 "\n\tlab_count_file=none"
+                 "\n\tlab_data_folder={root}/{split}/"
+                 "\n\tlab_graph={root}/graph").format(
+                     root=data_root, split=split) if multitask_mono else "")
 
     cfg = """[cfg_proto]
 cfg_proto = proto/global.proto
@@ -176,7 +265,7 @@ seed = {seed}
 use_cuda = False
 multi_gpu = False
 save_gpumem = False
-N_epochs_tr = {n_epochs}
+N_epochs_tr = {n_epochs}{guided_ep}
 
 {ds1}
 {ds2}
@@ -224,6 +313,8 @@ scoring_opts = "{scoring_opts}"
 norm_vars = False
 """.format(scoring_opts="--min-lmwt 1 --max-lmwt 10" if lmwt_sweep
            else "--min-lmwt 5 --max-lmwt 5",
+           guided_ep=("\napply_guided_ep = %d" % apply_guided_ep)
+           if apply_guided_ep is not None else "",
            out_folder=out_folder, seed=seed, n_epochs=n_epochs,
            ds1=dataset_block(1, "synth_tr", "train"),
            ds2=dataset_block(2, "synth_dev", "dev"),

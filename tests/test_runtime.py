@@ -176,3 +176,80 @@ def test_end_to_end_multi_device_dp(synth_root):
     c = configparser.ConfigParser()
     c.read(infos[-1])
     assert float(c["results"]["err"]) < 0.8
+
+
+def test_end_to_end_ligru_multitask(synth_root):
+    """liGRU + cd/mono multitask heads (the reference flagship wiring:
+    compute->compute x2, cost_nll x2, mult_constant, sum)."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_ligru")
+    cfg = make_synth_cfg(str(tmp / "ligru.cfg"), root, out_folder,
+                         model="liGRU", hidden=32, n_epochs=1, n_chunks=2,
+                         batch_size=4, lr=0.004, opt="rmsprop", cw=0,
+                         multitask_mono=True, lmwt_sweep=False)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    infos = sorted(glob.glob(os.path.join(out_folder, "exp_files",
+                                          "train_*.info")))
+    c = configparser.ConfigParser()
+    c.read(infos[-1])
+    assert float(c["results"]["err"]) < 0.95
+
+
+def test_end_to_end_guided_hcgs_two_phase(synth_root):
+    """Guided-HCGS lifecycle: dense epochs, then apply_guided_ep flips
+    the masks on (ref: utils.py:1085-1095, core.py:298-300)."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_guided")
+    cfg = make_synth_cfg(str(tmp / "guided.cfg"), root, out_folder,
+                         model="MLP", hidden=32, n_epochs=3, n_chunks=2,
+                         batch_size=128, lr=0.06, cw=1,
+                         hcgs=False, guided=True, apply_guided_ep=2,
+                         hcgs_block="8", hcgs_sparse="50", lmwt_sweep=False)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    # chunk cfgs: guided off at ep0, on from ep1 (ep+1 >= 2)
+    cc0 = configparser.ConfigParser()
+    cc0.read(glob.glob(os.path.join(out_folder, "exp_files",
+                                    "train_*ep0_ck0.cfg"))[0])
+    assert cc0["architecture1"]["apply_guided_hcgs"] == "False"
+    cc2 = configparser.ConfigParser()
+    cc2.read(glob.glob(os.path.join(out_folder, "exp_files",
+                                    "train_*ep2_ck0.cfg"))[0])
+    assert cc2["architecture1"]["apply_guided_hcgs"] == "True"
+    # final checkpoint carries guided masks at ~50% density
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    ck = load_checkpoint(os.path.join(out_folder, "exp_files",
+                                      "final_architecture1.pkl"))
+    masks = ck["model_par"]["masks"]
+    gm = [v for k, v in masks.items() if k.startswith("ghcgs_")]
+    assert gm, "guided masks missing from checkpoint"
+    # keep fraction = round(n_col_blocks * 0.5)/n_col_blocks per row;
+    # with 3 column blocks of 8 on the 24-wide input that is 2/3
+    d = np.count_nonzero(gm[0]) / gm[0].size
+    assert 0.3 < d < 0.75
+
+
+def test_end_to_end_pattern_refresh(synth_root):
+    """Pattern mode: k-means pattern refresh between chunks, masks
+    applied in-step and persisted (ref: neural_networks.py:876-884)."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_pattern")
+    cfg = make_synth_cfg(str(tmp / "pattern.cfg"), root, out_folder,
+                         model="MLP", hidden=32, n_epochs=1, n_chunks=2,
+                         batch_size=128, lr=0.06, cw=1,
+                         pattern=True, pattern_shape="4,4", pattern_nnz=8,
+                         pattern_num=6, lmwt_sweep=False)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    ck = load_checkpoint(os.path.join(out_folder, "exp_files",
+                                      "final_architecture1.pkl"))
+    masks = ck["model_par"]["masks"]
+    pm = [v for k, v in masks.items() if k.startswith("pattern_")]
+    assert pm, "pattern masks missing"
+    # each 4x4 block of the mask keeps exactly 8 entries
+    m = pm[0]
+    R, C = m.shape[0] // 4, m.shape[1] // 4
+    blocks = m.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(-1, 16)
+    np.testing.assert_array_equal(blocks.sum(1), 8)
