@@ -149,28 +149,45 @@ def batched_viterbi_decode(loglikes: np.ndarray, lengths: np.ndarray,
         return new_delta, (bp, new_delta)
 
     _, (bps, deltas) = jax.lax.scan(step, delta0, ll[1:])
-    bps = np.asarray(bps)          # (T-1, B, S)
-    deltas = np.asarray(deltas)    # (T-1, B, S)
-    delta0_np = np.asarray(delta0)
+    # bps/deltas are (T-1, B, S) and can be large — backtrack ON DEVICE
+    # (a reverse scan of per-batch gathers) so only the (T, B) state path
+    # crosses back to the host (matters on tunneled/remote devices).
+    lengths_j = jnp.asarray(np.asarray(lengths), jnp.int32)
+    batch_idx = jnp.arange(B)
+    d_last = jnp.where((lengths_j <= 1)[:, None], delta0,
+                       deltas[jnp.clip(lengths_j - 2, 0, T - 2), batch_idx])
+    end_state = jnp.argmax(d_last, axis=-1).astype(jnp.int32)    # (B,)
+
+    def back(state, inputs):
+        bp_t, i = inputs            # bp_t = bps[i], i runs T-2 .. 0
+        # at each utterance's last frame, (re)start from its end state
+        state = jnp.where(i + 1 == lengths_j - 1, end_state, state)
+        emit = state                # state at frame i+1
+        prev = bp_t[batch_idx, state].astype(jnp.int32)
+        return prev, emit
+
+    if T > 1:
+        xs = (jnp.flip(bps, 0), jnp.arange(T - 2, -1, -1))
+        state0, emits = jax.lax.scan(back, end_state, xs)
+        # emits[k] = state at frame T-1-k  ->  path frames 0..T-1
+        path_dev = jnp.concatenate([state0[None], jnp.flip(emits, 0)], axis=0)
+    else:
+        path_dev = end_state[None]
+    path = np.asarray(path_dev)                                   # (T, B)
+    end_state_np = np.asarray(end_state)
 
     out: List[List[int]] = []
     for b in range(B):
         L = int(lengths[b])
         if L <= 1:
-            d_last = delta0_np[b]
-        else:
-            d_last = deltas[L - 2, b]
-        state = int(np.argmax(d_last))
-        path = np.zeros(L, dtype=np.int32)
-        for t in range(L - 1, 0, -1):
-            path[t] = state
-            state = int(bps[t - 1, b, state])
-        path[0] = state
-        phones = hmm.state_phone[path]
+            out.append([int(hmm.state_phone[int(end_state_np[b])])])
+            continue
+        p = path[:L, b]
+        phones = hmm.state_phone[p]
         seq = [int(phones[0])]
         for t in range(1, L):
-            entering = hmm.is_initial[path[t]] and path[t] != path[t - 1]
-            if phones[t] != phones[t - 1] or (entering and hmm.is_final[path[t - 1]]):
+            entering = hmm.is_initial[p[t]] and p[t] != p[t - 1]
+            if phones[t] != phones[t - 1] or (entering and hmm.is_final[p[t - 1]]):
                 seq.append(int(phones[t]))
         out.append(seq)
     return out

@@ -152,3 +152,21 @@ def test_lattice_oracle_single_path(tmp_path):
     assert [l - 1 for l in lat.best_path(1.0)] == [0, 1]
     # near-deterministic: arcs ~= frames + eps transitions
     assert lat.num_arcs <= 16 + 8
+
+
+def test_batched_viterbi_ragged_matches_numpy():
+    """Device-side backtrack must equal per-utterance numpy Viterbi on
+    ragged batches (incl. length-1 edge case)."""
+    from pytorch_kaldi_cgs_tpu.decode.viterbi import (PhoneLoopHMM,
+                                                      batched_viterbi_decode,
+                                                      viterbi_decode)
+    rng = np.random.RandomState(3)
+    hmm = PhoneLoopHMM(5, 2)
+    lens = [17, 40, 28, 1, 40]
+    B, T, S = len(lens), max(lens), 10
+    ll = np.full((B, T, S), -1e30, np.float32)
+    for b, L in enumerate(lens):
+        ll[b, :L] = np.log(rng.dirichlet(np.ones(S) * 0.4, size=L)).astype(np.float32)
+    got = batched_viterbi_decode(ll, np.array(lens), hmm, acwt=1.0)
+    for b, L in enumerate(lens):
+        assert got[b] == viterbi_decode(ll[b, :L], hmm, acwt=1.0)
