@@ -119,61 +119,20 @@ def batched_viterbi_decode(loglikes: np.ndarray, lengths: np.ndarray,
     import jax.numpy as jnp
 
     B, T, S = loglikes.shape
-    sp = hmm.states_per_phone
     NEG = -1e30
-    is_initial = jnp.asarray(hmm.is_initial)
-    is_final = jnp.asarray(hmm.is_final)
-    idx = jnp.arange(S)
-    final_idx = jnp.asarray(np.where(hmm.is_final)[0])
 
-    ll = jnp.asarray(acwt * loglikes).transpose(1, 0, 2)  # (T, B, S)
-
-    delta0 = jnp.where(is_initial, ll[0], NEG)
-
-    def step(delta, ll_t):
-        stay = delta + hmm.log_self
-        adv = jnp.where(is_initial, NEG,
-                        jnp.roll(delta, 1, axis=-1) + hmm.log_next)
-        final_scores = jnp.take(delta, final_idx, axis=-1) + hmm.log_next - hmm.pip
-        best_final_pos = jnp.argmax(final_scores, axis=-1)            # (B,)
-        best_final_state = final_idx[best_final_pos]                  # (B,)
-        best_final_score = jnp.take_along_axis(
-            final_scores, best_final_pos[:, None], axis=-1)[:, 0]     # (B,)
-        cross = jnp.where(is_initial, best_final_score[:, None], NEG)
-        stacked = jnp.stack([stay, adv, cross])                       # (3,B,S)
-        choice = jnp.argmax(stacked, axis=0)                          # (B,S)
-        new_delta = jnp.max(stacked, axis=0) + ll_t
-        bp = jnp.where(choice == 0, idx[None, :],
-                       jnp.where(choice == 1, idx[None, :] - 1,
-                                 best_final_state[:, None]))
-        return new_delta, (bp, new_delta)
-
-    _, (bps, deltas) = jax.lax.scan(step, delta0, ll[1:])
-    # bps/deltas are (T-1, B, S) and can be large — backtrack ON DEVICE
-    # (a reverse scan of per-batch gathers) so only the (T, B) state path
-    # crosses back to the host (matters on tunneled/remote devices).
-    lengths_j = jnp.asarray(np.asarray(lengths), jnp.int32)
-    batch_idx = jnp.arange(B)
-    d_last = jnp.where((lengths_j <= 1)[:, None], delta0,
-                       deltas[jnp.clip(lengths_j - 2, 0, T - 2), batch_idx])
-    end_state = jnp.argmax(d_last, axis=-1).astype(jnp.int32)    # (B,)
-
-    def back(state, inputs):
-        bp_t, i = inputs            # bp_t = bps[i], i runs T-2 .. 0
-        # at each utterance's last frame, (re)start from its end state
-        state = jnp.where(i + 1 == lengths_j - 1, end_state, state)
-        emit = state                # state at frame i+1
-        prev = bp_t[batch_idx, state].astype(jnp.int32)
-        return prev, emit
-
-    if T > 1:
-        xs = (jnp.flip(bps, 0), jnp.arange(T - 2, -1, -1))
-        state0, emits = jax.lax.scan(back, end_state, xs)
-        # emits[k] = state at frame T-1-k  ->  path frames 0..T-1
-        path_dev = jnp.concatenate([state0[None], jnp.flip(emits, 0)], axis=0)
-    else:
-        path_dev = end_state[None]
-    path = np.asarray(path_dev)                                   # (T, B)
+    # compile once per (hmm, B, T, S): the whole forward recursion AND
+    # the backtrace run as one jitted program on the accelerator
+    cache = getattr(hmm, "_jit_cache", None)
+    if cache is None:
+        cache = hmm._jit_cache = {}
+    key = (B, T, S)
+    if key not in cache:
+        cache[key] = _build_batched_viterbi(hmm, B, T, S)
+    path, end_state = cache[key](jnp.asarray(loglikes),
+                                 jnp.asarray(np.asarray(lengths), jnp.int32),
+                                 float(acwt))
+    path = np.asarray(path)
     end_state_np = np.asarray(end_state)
 
     out: List[List[int]] = []
@@ -191,3 +150,64 @@ def batched_viterbi_decode(loglikes: np.ndarray, lengths: np.ndarray,
                 seq.append(int(phones[t]))
         out.append(seq)
     return out
+
+
+def _build_batched_viterbi(hmm: PhoneLoopHMM, B: int, T: int, S: int):
+    import jax
+    import jax.numpy as jnp
+
+    NEG = -1e30
+    is_initial = jnp.asarray(hmm.is_initial)
+    final_idx = jnp.asarray(np.where(hmm.is_final)[0])
+    idx = jnp.arange(S)
+
+    @jax.jit
+    def run(loglikes, lengths_j, acwt):
+        ll = (acwt * loglikes).transpose(1, 0, 2)  # (T, B, S)
+        batch_idx = jnp.arange(B)
+        delta0 = jnp.where(is_initial, ll[0], NEG)
+
+        def step(delta, ll_t):
+            stay = delta + hmm.log_self
+            adv = jnp.where(is_initial, NEG,
+                            jnp.roll(delta, 1, axis=-1) + hmm.log_next)
+            final_scores = (jnp.take(delta, final_idx, axis=-1)
+                            + hmm.log_next - hmm.pip)
+            best_final_pos = jnp.argmax(final_scores, axis=-1)        # (B,)
+            best_final_state = final_idx[best_final_pos]              # (B,)
+            best_final_score = jnp.take_along_axis(
+                final_scores, best_final_pos[:, None], axis=-1)[:, 0]  # (B,)
+            cross = jnp.where(is_initial, best_final_score[:, None], NEG)
+            stacked = jnp.stack([stay, adv, cross])                   # (3,B,S)
+            choice = jnp.argmax(stacked, axis=0)                      # (B,S)
+            new_delta = jnp.max(stacked, axis=0) + ll_t
+            bp = jnp.where(choice == 0, idx[None, :],
+                           jnp.where(choice == 1, idx[None, :] - 1,
+                                     best_final_state[:, None]))
+            return new_delta, (bp, new_delta)
+
+        _, (bps, deltas) = jax.lax.scan(step, delta0, ll[1:] if T > 1
+                                        else ll[:0])
+        d_last = jnp.where((lengths_j <= 1)[:, None], delta0,
+                           deltas[jnp.clip(lengths_j - 2, 0, max(T - 2, 0)),
+                                  batch_idx] if T > 1 else delta0)
+        end_state = jnp.argmax(d_last, axis=-1).astype(jnp.int32)   # (B,)
+
+        def back(state, inputs):
+            bp_t, i = inputs        # bp_t = bps[i], i runs T-2 .. 0
+            # at each utterance's last frame, (re)start from its end state
+            state = jnp.where(i + 1 == lengths_j - 1, end_state, state)
+            emit = state            # state at frame i+1
+            prev = bp_t[batch_idx, state].astype(jnp.int32)
+            return prev, emit
+
+        if T > 1:
+            xs = (jnp.flip(bps, 0), jnp.arange(T - 2, -1, -1))
+            state0, emits = jax.lax.scan(back, end_state, xs)
+            path_dev = jnp.concatenate([state0[None], jnp.flip(emits, 0)],
+                                       axis=0)
+        else:
+            path_dev = end_state[None]
+        return path_dev, end_state
+
+    return run
