@@ -1,0 +1,98 @@
+"""End-to-end on-device ASR pipeline: raw audio → features → acoustic
+model → batched Viterbi → phone sequences.
+
+The reference splits this across three processes (Kaldi feature
+binaries, PyTorch forward, latgen decode, ref SURVEY §1). Here the whole
+recognition path is JAX: the feature frontend (ops/frontend), the
+acoustic model, prior normalization and the phone-loop Viterbi all trace
+into device programs; the host only sees the final phone sequences.
+Intended for batch serving and for measuring audio-seconds/s including
+decode (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode.viterbi import PhoneLoopHMM, batched_viterbi_decode
+from ..ops.frontend import Frontend, add_deltas_jax
+
+
+class Recognizer:
+    """Batch recognizer over equal-length (padded) raw waveforms.
+
+    model: an AcousticModel whose input dim matches the feature dim
+    (frontend bins [+deltas] x context window). variables: its trained
+    pytree. log_priors: class prior log-probabilities for posterior →
+    likelihood conversion (ref: core.py:241-245).
+    """
+
+    def __init__(self, model, variables, hmm: PhoneLoopHMM,
+                 frontend: Optional[Frontend] = None,
+                 log_priors: Optional[np.ndarray] = None,
+                 delta_order: int = 0, acwt: float = 1.0,
+                 seq_model: bool = False):
+        self.model = model
+        self.variables = variables
+        self.hmm = hmm
+        self.frontend = frontend or Frontend()
+        self.log_priors = None if log_priors is None else jnp.asarray(log_priors)
+        self.delta_order = delta_order
+        self.acwt = acwt
+        self.seq_model = seq_model
+        self._fn = None
+
+    def _build(self, B: int, T_samples: int):
+        model = self.model
+        frontend = self.frontend
+        delta_order = self.delta_order
+        log_priors = self.log_priors
+        seq_model = self.seq_model
+        variables = self.variables
+
+        @jax.jit
+        def pipeline(audio):
+            feats = jax.vmap(frontend.fbank)(audio)          # (B, T, mel)
+            if delta_order:
+                feats = jax.vmap(lambda f: add_deltas_jax(
+                    f, delta_order, 2))(feats)
+            # per-utterance mean/var normalization (chunk-CMVN role)
+            mu = jnp.mean(feats, axis=1, keepdims=True)
+            sd = jnp.maximum(jnp.std(feats, axis=1, keepdims=True), 1e-5)
+            feats = (feats - mu) / sd
+            if seq_model:
+                x = feats.transpose(1, 0, 2)                  # (T, B, F)
+                y, _ = model.apply(variables, x, train=False)
+                logp = y.transpose(1, 0, 2)                   # (B, T, C)
+            else:
+                B_, T_, F_ = feats.shape
+                y, _ = model.apply(variables, feats.reshape(B_ * T_, F_),
+                                   train=False)
+                logp = y.reshape(B_, T_, -1)
+            if log_priors is not None:
+                logp = logp - log_priors
+            return logp
+
+        return pipeline
+
+    def recognize(self, audio: np.ndarray,
+                  lengths_samples: Optional[Sequence[int]] = None
+                  ) -> List[List[int]]:
+        """audio: (B, T_samples) float waveforms (zero-padded)."""
+        B, T_samples = audio.shape
+        if self._fn is None:
+            self._fn = self._build(B, T_samples)
+        logp = self._fn(jnp.asarray(audio, jnp.float32))
+        n_frames = self.frontend.num_frames(T_samples)
+        if lengths_samples is None:
+            frame_lengths = np.full(B, n_frames)
+        else:
+            frame_lengths = np.array([
+                max(1, self.frontend.num_frames(int(l)))
+                for l in lengths_samples])
+        return batched_viterbi_decode(np.asarray(logp), frame_lengths,
+                                      self.hmm, acwt=self.acwt)

@@ -253,3 +253,29 @@ def test_end_to_end_pattern_refresh(synth_root):
     R, C = m.shape[0] // 4, m.shape[1] // 4
     blocks = m.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(-1, 16)
     np.testing.assert_array_equal(blocks.sum(1), 8)
+
+
+def test_recognizer_pipeline_runs():
+    """Raw audio -> fbank -> MLP -> Viterbi in one device pipeline."""
+    from pytorch_kaldi_cgs_tpu.runtime.serve import Recognizer
+    from pytorch_kaldi_cgs_tpu.ops.frontend import Frontend
+    from pytorch_kaldi_cgs_tpu.decode.viterbi import PhoneLoopHMM
+    from pytorch_kaldi_cgs_tpu import models as M
+
+    fe = Frontend(sample_rate=8000, num_mel_bins=10)
+    hmm = PhoneLoopHMM(4, 2)
+    opts = {"to_do": "forward", "arch_name": "m", "out_folder": "/tmp",
+            "dnn_lay": "16,8", "dnn_drop": "0.0,0.0",
+            "dnn_use_batchnorm": "False,False",
+            "dnn_use_laynorm": "False,False",
+            "dnn_use_laynorm_inp": "False", "dnn_use_batchnorm_inp": "False",
+            "dnn_act": "relu,softmax"}
+    model = M.MLP(opts, 10)
+    v = model.init(0)
+    rec = Recognizer(model, v, hmm, frontend=fe, acwt=1.0)
+    rng = np.random.RandomState(0)
+    audio = rng.randn(3, 8000).astype(np.float32)
+    seqs = rec.recognize(audio, lengths_samples=[8000, 4000, 6000])
+    assert len(seqs) == 3
+    assert all(len(s) >= 1 for s in seqs)
+    assert all(0 <= p < 4 for s in seqs for p in s)
