@@ -618,14 +618,28 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
+    Kb = layout.Kb
+
     def kernel(col_idx_ref, x_ref, w_ref, o_ref, xg_ref):
         j = pl.program_id(1)
-        for k in range(R):  # static unroll: VMEM-to-VMEM block gather
+        # gather the R kept x-blocks with *static* lane offsets behind
+        # per-block predicates: dynamic slices along the lane (minor)
+        # dimension lower to slow lane shifts on TPU, static ones don't
+        for k in range(R):
             ci = col_idx_ref[j * R + k]
-            xg_ref[:, k * bs:(k + 1) * bs] = x_ref[:, pl.ds(ci * bs, bs)]
-        o_ref[0] = jax.lax.dot_general(
+            for c in range(Kb):
+                @pl.when(ci == c)
+                def _(k=k, c=c):
+                    xg_ref[:, k * bs:(k + 1) * bs] = \
+                        x_ref[:, c * bs:(c + 1) * bs]
+        acc = jax.lax.dot_general(
             xg_ref[...], w_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32)          # (TILE_M, G*bs)
+        # emit per-gate planes directly — the in-VMEM transpose here
+        # replaces a full-output HBM regroup (2x M*N*G traffic) after
+        # the kernel
+        o_ref[:, 0] = acc.reshape(TILE_M, G, bs).transpose(1, 0, 2) \
+            .astype(o_ref.dtype)
 
     def call(x, w3):
         M = x.shape[0]
@@ -640,21 +654,20 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                     pl.BlockSpec((1, G * bs, R * bs),
                                  lambda i, j, ci: (j, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, TILE_M, G * bs),
-                                       lambda i, j, ci: (i, 0, j)),
+                out_specs=pl.BlockSpec((G, 1, TILE_M, bs),
+                                       lambda i, j, ci: (0, i, 0, j)),
                 scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), jnp.float32)],
             ),
-            out_shape=jax.ShapeDtypeStruct((M // TILE_M, TILE_M, Nb * G * bs),
-                                           x.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (G, M // TILE_M, TILE_M, layout.N), x.dtype),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * layout.nnz * bs * bs * G,
-                bytes_accessed=(M * layout.K * Nb + layout.nnz * G * bs * bs
+                bytes_accessed=(M * layout.K + layout.nnz * G * bs * bs
                                 + M * layout.N * G) * 4,
                 transcendentals=0),
         )(jnp.asarray(layout.col_idx), x, w3)
-        out = out.reshape(M, Nb, G, bs)
-        return out.transpose(2, 0, 1, 3).reshape(G, M, layout.N)
+        return out.reshape(G, M, layout.N)
 
     return call
 

@@ -62,3 +62,24 @@ def test_cmvn_jax():
     x = jnp.asarray(rng.randn(100, 4).astype(np.float32) * 3 + 5)
     y = np.array(cmvn_jax(x))
     np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_compute_feats_cli(tmp_path):
+    import scipy.io.wavfile
+    from pytorch_kaldi_cgs_tpu.bin.compute_feats import main
+    from pytorch_kaldi_cgs_tpu.data import kaldi_io
+    rng = np.random.RandomState(0)
+    wavs = {}
+    scp = tmp_path / "wav.scp"
+    with open(scp, "w") as f:
+        for u in range(2):
+            p = tmp_path / ("u%d.wav" % u)
+            sig = (rng.randn(8000) * 3000).astype(np.int16)
+            scipy.io.wavfile.write(str(p), 16000, sig)
+            f.write("utt%d %s\n" % (u, p))
+    rc = main(["--wav-scp", str(scp), "--out-ark", str(tmp_path / "f.ark"),
+               "--out-scp", str(tmp_path / "f.scp"), "--type", "fbank"])
+    assert rc == 0
+    got = dict(kaldi_io.read_mat_ark(str(tmp_path / "f.ark")))
+    assert set(got) == {"utt0", "utt1"}
+    assert got["utt0"].shape[1] == 23
