@@ -618,28 +618,32 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    Kb = layout.Kb
-
-    def kernel(col_idx_ref, x_ref, w_ref, o_ref, xg_ref):
+    def kernel(col_idx_ref, x_ref, w_ref, o_ref, xg_ref, sems):
+        i = pl.program_id(0)
         j = pl.program_id(1)
-        # gather the R kept x-blocks with *static* lane offsets behind
-        # per-block predicates: dynamic slices along the lane (minor)
-        # dimension lower to slow lane shifts on TPU, static ones don't
+        # x stays in HBM (ANY); DMA only the R kept blocks into scratch —
+        # auto-fetching the whole (TILE_M, K) row per grid step was the
+        # measured bandwidth floor
         for k in range(R):
             ci = col_idx_ref[j * R + k]
-            for c in range(Kb):
-                @pl.when(ci == c)
-                def _(k=k, c=c):
-                    xg_ref[:, k * bs:(k + 1) * bs] = \
-                        x_ref[:, c * bs:(c + 1) * bs]
-        acc = jax.lax.dot_general(
-            xg_ref[...], w_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (TILE_M, G*bs)
-        # emit per-gate planes directly — the in-VMEM transpose here
-        # replaces a full-output HBM regroup (2x M*N*G traffic) after
-        # the kernel
-        o_ref[:, 0] = acc.reshape(TILE_M, G, bs).transpose(1, 0, 2) \
-            .astype(o_ref.dtype)
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                xg_ref.at[:, k * bs:(k + 1) * bs],
+                sems.at[k]).start()
+        for k in range(R):
+            ci = col_idx_ref[j * R + k]
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                xg_ref.at[:, k * bs:(k + 1) * bs],
+                sems.at[k]).wait()
+        # one deep dot per gate, each writing its output plane directly
+        xg = xg_ref[...]
+        for g in range(G):
+            acc_g = jax.lax.dot_general(
+                xg, w_ref[0, g * bs:(g + 1) * bs, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (TILE_M, bs)
+            o_ref[g, 0] = acc_g.astype(o_ref.dtype)
 
     def call(x, w3):
         M = x.shape[0]
@@ -650,13 +654,14 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((TILE_M, layout.K), lambda i, j, ci: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec((1, G * bs, R * bs),
                                  lambda i, j, ci: (j, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((G, 1, TILE_M, bs),
                                        lambda i, j, ci: (0, i, 0, j)),
-                scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), jnp.float32),
+                                pltpu.SemaphoreType.DMA((R,))],
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (G, M // TILE_M, TILE_M, layout.N), x.dtype),
