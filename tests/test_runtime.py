@@ -279,3 +279,43 @@ def test_recognizer_pipeline_runs():
     assert len(seqs) == 3
     assert all(len(s) >= 1 for s in seqs)
     assert all(0 <= p < 4 for s in seqs for p in s)
+
+
+def test_decoding_cli(synth_root):
+    """bin.decoding re-runs the decode stage over existing forward arks
+    (depends on test_end_to_end_mlp's artifacts)."""
+    tmp, root = synth_root
+    cfg = str(tmp / "mlp.cfg")
+    if not os.path.exists(cfg):
+        pytest.skip("mlp e2e has not run")
+    from pytorch_kaldi_cgs_tpu.bin.decoding import main
+    assert main([cfg, "--acwt", "1.0"]) == 0
+    wer = os.path.join(str(tmp / "exp_mlp"),
+                       "decode_synth_test_out_out_dnn1", "wer")
+    assert os.path.exists(wer)
+
+
+def test_run_test_cli_pattern_prune(synth_root):
+    """bin.run_test applies [pattern] post-training pruning and re-runs
+    forward+decode from the pruned checkpoints."""
+    tmp, root = synth_root
+    cfg_src = str(tmp / "mlp.cfg")
+    if not os.path.exists(cfg_src):
+        pytest.skip("mlp e2e has not run")
+    cfg = str(tmp / "mlp_test.cfg")
+    text = open(cfg_src).read()
+    text += "\n[pattern]\npattern_prun = True\npattern_num = 4\n" \
+            "pattern_shape = 4,4\npattern_nnz = 8\n"
+    open(cfg, "w").write(text)
+    from pytorch_kaldi_cgs_tpu.bin.run_test import main
+    assert main([cfg]) == 0
+    pruned = glob.glob(os.path.join(str(tmp / "exp_mlp"), "exp_files",
+                                    "final_*_4_4x4_8_pattern.pkl"))
+    assert pruned
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    ck = load_checkpoint(pruned[0])
+    w = ck["model_par"]["params"]["w0"]
+    blocks = (np.asarray(w) != 0).reshape(
+        w.shape[0] // 4, 4, w.shape[1] // 4, 4).transpose(0, 2, 1, 3)
+    counts = blocks.reshape(-1, 16).sum(1)
+    assert (counts <= 8).all() and counts.max() == 8
