@@ -236,8 +236,7 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
            next_cfg_file: Optional[str] = None,
            variables: Optional[Dict[str, Any]] = None,
            opt_states: Optional[Dict[str, Any]] = None,
-           if_prune: bool = False,
-           runner_cache: Optional[Dict[str, Any]] = None
+           if_prune: bool = False
            ) -> Tuple[Optional[ChunkData], Dict[str, Any]]:
     """Process one chunk; returns (next_chunk_data, info_dict).
 
