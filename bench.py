@@ -7,33 +7,58 @@ inputs (143-dim fMLLR-like features, ref
 cfg/TIMIT_CGS/TIMIT_LSTM_fmllr_hcgs.cfg). Measures full training steps
 (forward + backward + optimizer) in frames/second.
 
+Timing is honest per utils/timing.py: chained dispatches whose final
+scalar VALUE is read back to the host, differenced across two window
+sizes so constant RPC latency cancels. (Round 1 used
+``block_until_ready``, which this environment's tunnel acknowledges
+without waiting for execution; the 8.1M frames/s it reported implied
+217 TFLOP/s — above the v5e's 197 TFLOP/s bf16 peak — and is void.)
+
+FLOP accounting (written out so MFU is checkable):
+  per frame, forward matmul MACs =
+      layer1: 143*2048 (x-proj) + 512*2048 (recurrent)
+    + layer2: 512*2048 + 512*2048
+    + MLP head: 512*1944                     = 4.43M MACs
+  forward flops  = 2*MACs           = 8.87M
+  training step ~= 3x forward       = 26.6M flops/frame
+  (XLA cost_analysis cross-check: it reports 13.8M "flops"/frame for
+  the jitted train step — XLA counts dot flops as M*N*K (MACs), so
+  times two minus elementwise ops this matches the analytic number.)
+
+MFU is reported against BOTH the chip's nominal bf16 peak (v5e:
+197 TFLOP/s) and a same-session dense-matmul calibration.
+
 Baseline: the reference reports ~87 s/epoch for TIMIT training on its
 GPU (ref README.md:171-181); TIMIT train is ~1.12M frames, giving
 ~12.9k frames/s — and that number is for the *cheaper* MLP; the LSTM
 configs are slower. vs_baseline = ours / 12900.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
-import time
+import os
 
 import numpy as np
 
+FLOPS_PER_FRAME = 2 * 3 * (143 * 2048 + 3 * 512 * 2048 + 512 * 1944)
+PEAK_BF16_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                    "TPU v4": 275.0, "TPU v5p": 459.0}
 
-def main():
+
+def build_train_step():
     import jax
     import jax.numpy as jnp
     import optax
     from __graft_entry__ import _flagship
     from pytorch_kaldi_cgs_tpu.runtime.optim import make_optimizer
 
-    import os
     T, B = 300, 16
     FEAT, NOUT = 143, 1944
     lstm, mlp = _flagship(hidden=512, feat_dim=FEAT, n_out=NOUT, hcgs=True,
                           compute_dtype=os.environ.get("PKC_COMPUTE_DTYPE", ""))
     variables = {"lstm": lstm.init(0), "mlp": mlp.init(1)}
+    lstm.prepare_block_sparse(variables["lstm"])
     tx = make_optimizer({"arch_opt": "rmsprop", "arch_lr": "0.0016",
                          "opt_momentum": "0", "opt_alpha": "0.95",
                          "opt_eps": "1e-8", "opt_centered": "False",
@@ -70,31 +95,44 @@ def main():
                          "masks": variables["mlp"]["masks"]}},
                 opt_state, loss)
 
-    key = jax.random.PRNGKey(0)
-    # warmup / compile
-    variables, opt_state, loss = train_step(variables, opt_state, x, labels, key)
-    loss.block_until_ready()
+    return train_step, (variables, opt_state, x, labels), T * B
 
-    # the tunneled chip shows run-to-run variance; take the best of
-    # three measurement windows
-    n_steps = 50
-    best_dt = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            variables, opt_state, loss = train_step(variables, opt_state, x,
-                                                    labels, key)
-        loss.block_until_ready()
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
 
-    frames_per_s = n_steps * T * B / best_dt
+def main():
+    import jax
+    from pytorch_kaldi_cgs_tpu.utils.timing import (chained_step_time,
+                                                    matmul_calibration)
+
+    train_step, (variables, opt_state, x, labels), frames = build_train_step()
+    key0 = jax.random.PRNGKey(0)
+
+    def chain(cur, out, i):
+        v, o, _ = out[0], out[1], out[2]
+        return (v, o, cur[2], cur[3], jax.random.fold_in(key0, i))
+
+    dt = chained_step_time(
+        train_step, (variables, opt_state, x, labels, key0),
+        chain=chain, readback=lambda out: out[2], n_lo=2, n_hi=12, repeats=2)
+
+    frames_per_s = frames / dt
+    tflops = FLOPS_PER_FRAME * frames_per_s / 1e12
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_TFLOPS.get(kind, 197.0)
+    calib = matmul_calibration()
     baseline = 12900.0  # ref ~87 s/epoch TIMIT (1.12M frames), MLP on GPU
     print(json.dumps({
         "metric": "lstm_hcgs_train_frames_per_sec",
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / baseline, 3),
+        "step_ms": round(dt * 1e3, 3),
+        "flops_per_frame": FLOPS_PER_FRAME,
+        "achieved_tflops": round(tflops, 2),
+        "mfu": round(tflops / peak, 4),
+        "mfu_vs_calibration": round(tflops / calib, 4),
+        "matmul_calibration_tflops": round(calib, 1),
+        "device_kind": kind,
+        "peak_bf16_tflops": peak,
     }))
 
 
