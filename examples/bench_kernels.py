@@ -22,7 +22,8 @@ import numpy as np
 
 from pytorch_kaldi_cgs_tpu.ops import block_sparse as BS
 from pytorch_kaldi_cgs_tpu.sparsity.hcgs import hcgs_mask
-from pytorch_kaldi_cgs_tpu.utils.timing import device_loop_time
+from pytorch_kaldi_cgs_tpu.utils.timing import (chained_step_time,
+                                                 device_loop_time)
 
 G = 4
 BSIZE = 128
@@ -49,19 +50,23 @@ def bench_point(K, N, M, drop_pct, fwd_bwd: bool, dtype=jnp.float32):
                                          tile_m=256)
 
     results = {}
+    # chaining MUST consume every output element (a row-sum broadcast
+    # back onto the carry): slicing y lets XLA dead-code-eliminate the
+    # unused columns of the XLA matmul while the opaque Pallas kernel
+    # still does full work — measured 0.034 ms "dense" (= 5000 TFLOP/s,
+    # 31x over f32 peak) before this fix.
     if not fwd_bwd:
-        for name, f in (("dense", dense_fwd), ("v3", v3_fwd)):
-            def body(c, f=f):
-                y = f(c)
-                # fold output back into input to chain (cheap slice+cast)
-                upd = y.reshape(-1)[:K].astype(dtype) * 1e-6
-                return c + upd[None, :]
-            try:
-                t = device_loop_time(body, x, n_lo=5, n_hi=55)
-                results[name] = t
-            except Exception as e:
-                results[name] = None
-                print("  %s FAILED: %s" % (name, str(e)[:200]))
+        def dense_body(c):
+            y = dense_fwd(c)                       # (M, 4N)
+            upd = jnp.sum(y, axis=1, keepdims=True)
+            return c + (upd * 1e-9).astype(dtype)
+
+        def v3_body(c):
+            ys = v3_fwd(c)                         # (G, M, N)
+            upd = jnp.sum(ys, axis=(0, 2))[:, None]
+            return c + (upd * 1e-9).astype(dtype)
+
+        cases = (("dense", dense_body), ("v3", v3_body))
     else:
         gy = jax.random.normal(jax.random.fold_in(key, 99),
                                (G, M, N), jnp.float32).astype(dtype)
@@ -71,41 +76,65 @@ def bench_point(K, N, M, drop_pct, fwd_bwd: bool, dtype=jnp.float32):
             def loss(x, w):
                 return jnp.sum(jnp.dot(x, w, preferred_element_type=jnp.float32) * gy_d)
             dx, dw = jax.grad(loss, argnums=(0, 1))(c, w_cat)
-            return c + dx * 1e-6 + jnp.sum(dw).astype(dtype) * 0
+            # consume dw with a nonzero coefficient: *0 lets XLA DCE the
+            # whole dw matmul
+            return c + (dx * 1e-6 +
+                        jnp.sum(dw) * jnp.asarray(1e-12, jnp.float32)
+                        ).astype(dtype)
 
         def v3_step(c):
             def loss(x, w3_):
                 return jnp.sum(BS.block_sparse_matmul_v3(
                     x, w3_, w3csc, layout, G, tile_m=256) * gy)
             dx, dw3 = jax.grad(loss, argnums=(0, 1))(c, w3)
-            return c + dx * 1e-6 + jnp.sum(dw3).astype(dtype) * 0
+            return c + (dx * 1e-6 +
+                        jnp.sum(dw3) * jnp.asarray(1e-12, jnp.float32)
+                        ).astype(dtype)
 
-        for name, f in (("dense", dense_step), ("v3", v3_step)):
-            try:
+        cases = (("dense", dense_step), ("v3", v3_step))
+
+    for name, f in cases:
+        try:
+            if fwd_bwd:
+                # composite step (grad of custom-vjp pallas): fori_loop
+                # wrapping changes XLA's schedule AND doubles the compile
+                # count — chain real dispatches instead (timing.py rules)
+                step = jax.jit(f)
+                t = chained_step_time(step, (x,),
+                                      chain=lambda args, out, i: (out,),
+                                      readback=lambda out: out[0, :8],
+                                      n_lo=3, n_hi=18, repeats=2)
+            else:
                 t = device_loop_time(f, x, n_lo=5, n_hi=55)
-                results[name] = t
-            except Exception as e:
-                results[name] = None
-                print("  %s FAILED: %s" % (name, str(e)[:200]))
+            results[name] = t
+        except Exception as e:
+            results[name] = None
+            print("  %s FAILED: %s" % (name, str(e)[:200]))
     return results
 
 
 def main():
-    widths = [int(a) for a in sys.argv[1:]] or [1024, 2048]
+    # each arg is one design point "W,drop,mode[,dtype]" with mode in
+    # {fwd, fb}; e.g.  python examples/bench_kernels.py 2048,75,fb
+    # (one point per process: Pallas+grad compiles through the tunnel
+    # dominate, a full sweep cannot fit one driver timeout)
+    points = sys.argv[1:] or ["1024,75,fwd"]
     M = 5120
-    print("chip:", jax.devices()[0].device_kind)
-    for W in widths:
-        for drop in (50.0, 75.0, 87.5):
-            for fwd_bwd in (False, True):
-                r = bench_point(W, W, M, drop, fwd_bwd)
-                d, v = r.get("dense"), r.get("v3")
-                tag = "%4d drop%5.1f%% %s" % (W, drop,
-                                              "fwd+bwd" if fwd_bwd else "fwd    ")
-                if d and v:
-                    print("%s: dense %7.3f ms | v3 %7.3f ms | speedup %.2fx"
-                          % (tag, d * 1e3, v * 1e3, d / v), flush=True)
-                else:
-                    print("%s: dense %s v3 %s" % (tag, d, v), flush=True)
+    print("chip:", jax.devices()[0].device_kind, flush=True)
+    for p in points:
+        parts = p.split(",")
+        W, drop, mode = int(parts[0]), float(parts[1]), parts[2]
+        dtype = jnp.bfloat16 if (len(parts) > 3 and parts[3] == "bf16") \
+            else jnp.float32
+        r = bench_point(W, W, M, drop, mode == "fb", dtype=dtype)
+        d, v = r.get("dense"), r.get("v3")
+        tag = "%4d drop%5.1f%% %s %s" % (W, drop, mode,
+                                         jnp.dtype(dtype).name)
+        if d and v:
+            print("%s: dense %7.3f ms | v3 %7.3f ms | speedup %.2fx"
+                  % (tag, d * 1e3, v * 1e3, d / v), flush=True)
+        else:
+            print("%s: dense %s v3 %s" % (tag, d, v), flush=True)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ def main(argv=None):
                 continue
             ark_glob = os.path.join(
                 out_folder, "exp_files",
-                "forward_%s_ep%s_ck*_%s_to_decode.ark" % (
+                "forward_%s_ep%s_ck*_%s*_to_decode.ark" % (
                     fwd_data, format(n_ep - 1, ep_fmt), fo))
             dec_dir = os.path.join(out_folder,
                                    "decode_%s_out_%s" % (fwd_data, fo))

@@ -88,7 +88,11 @@ def load_dataset(fea_scp: str, fea_opts: str, lab_folder: Optional[str],
     """
     pipeline = FeaturePipeline(fea_opts)
     fea: Dict[str, np.ndarray] = {}
-    for key, mat in kaldi_io.read_mat_scp(fea_scp):
+    # multi-host: each host reads only its interleaved share of the list
+    # (chunk lists are shuffled/length-sorted upstream, so shards stay
+    # balanced); single-host this is the path itself, zero overhead
+    from ..parallel.multihost import shard_scp_for_host
+    for key, mat in kaldi_io.read_mat_scp(shard_scp_for_host(fea_scp)):
         fea[key] = pipeline(key, mat)
 
     lab: Dict[str, np.ndarray] = {}

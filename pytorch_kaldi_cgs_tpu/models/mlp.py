@@ -59,10 +59,18 @@ class MLP(AcousticModel):
             mask = np.asarray(masks[key])
             bs = self.spec.hcgs_block[0]
             if bs % 128 or mask.shape[0] % bs or mask.shape[1] % bs:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "mlp layer %d: block %d/shape %s not MXU-alignable — "
+                    "falling back to the dense masked path", i, bs, mask.shape)
                 continue
             try:
                 layout = BS.pack_layout(mask, bs)
-            except ValueError:
+            except ValueError as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "mlp layer %d: irregular HCGS layout (%s) — falling "
+                    "back to the dense masked path", i, e)
                 continue
             self._bs_layouts[i] = (layout,
                                    jnp.asarray(BS.pack_blocks(mask, layout)))

@@ -163,10 +163,19 @@ class _RecurrentBase(AcousticModel):
             mask = np.asarray(masks[key])
             bs = self.spec.hcgsx_block[0]
             if bs % 128 or mask.shape[0] % bs or mask.shape[1] % bs:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s layer %d: block %d/shape %s not MXU-alignable — "
+                    "falling back to the dense masked path", self.prefix,
+                    i, bs, mask.shape)
                 continue
             try:
                 layout = BS.pack_layout(mask, bs)
-            except ValueError:
+            except ValueError as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s layer %d: irregular HCGS layout (%s) — falling "
+                    "back to the dense masked path", self.prefix, i, e)
                 continue
             sub = BS.pack_blocks_multi(
                 [np.asarray(masks["hcgs_%s%d" % (g, i)]) for g in self.gates_x],

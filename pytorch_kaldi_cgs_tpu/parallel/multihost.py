@@ -45,10 +45,18 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def process_count() -> int:
+    """Number of hosts. PKC_PROCESS_COUNT overrides (simulation hook for
+    testing multi-host data sharding without jax.distributed)."""
+    env = os.environ.get("PKC_PROCESS_COUNT")
+    if env:
+        return int(env)
     return jax.process_count()
 
 
 def process_index() -> int:
+    env = os.environ.get("PKC_PROCESS_INDEX")
+    if env:
+        return int(env)
     return jax.process_index()
 
 
@@ -57,9 +65,21 @@ def shard_list_for_host(items: Sequence, host: Optional[int] = None,
     """Interleaved per-host split of a sentence list: host i takes items
     i, i+n, i+2n, ... — keeps each host's shard length-balanced because
     chunk lists are sorted/shuffled upstream."""
-    host = jax.process_index() if host is None else host
-    n_hosts = jax.process_count() if n_hosts is None else n_hosts
+    host = process_index() if host is None else host
+    n_hosts = process_count() if n_hosts is None else n_hosts
     return list(items[host::n_hosts])
+
+
+def shard_scp_for_host(scp_path: str):
+    """This host's interleaved share of an scp/lst file, as a binary
+    file-like consumable by the kaldi_io scp readers. Returns the path
+    unchanged when single-host (zero-copy fast path)."""
+    if process_count() <= 1:
+        return scp_path
+    import io
+    with open(scp_path, "rb") as f:
+        lines = [ln for ln in f if ln.strip()]
+    return io.BytesIO(b"".join(shard_list_for_host(lines)))
 
 
 def global_batch_per_host(global_batch: int) -> int:

@@ -142,10 +142,17 @@ class ChunkRunner:
         self._eval_step = None
         self._fwd_step = None
         self.mesh = None
-        if strtobool(config["exp"].get("multi_gpu", "False")) and \
-                jax.device_count() > 1:
+        # [exp] model_parallel = N splits a "model" TP axis off the mesh
+        # (weights/opt-state shard their output dim; XLA places the
+        # all-gathers/reduce-scatters). multi_gpu alone = pure DP, the
+        # reference's DataParallel surface (ref: utils.py:1781-1784).
+        self.model_parallel = max(
+            int(config["exp"].get("model_parallel", "1") or 1), 1)
+        if jax.device_count() > 1 and (
+                self.model_parallel > 1 or
+                strtobool(config["exp"].get("multi_gpu", "False"))):
             from ..parallel import make_mesh
-            self.mesh = make_mesh()
+            self.mesh = make_mesh(model_axis=self.model_parallel)
 
     def shard_batch(self, inp, mask=None):
         """Place a batch on the data mesh (no-op single device). Seq
@@ -156,6 +163,13 @@ class ChunkRunner:
         axis = 1 if np.ndim(inp) == 3 else 0
         n_data = self.mesh.shape["data"]
         if inp.shape[axis] % n_data:
+            if not getattr(self, "_warned_indivisible", False):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "batch axis %d (size %d) not divisible by data mesh "
+                    "%d: running this batch UNSHARDED", axis,
+                    inp.shape[axis], n_data)
+                self._warned_indivisible = True
             return jnp.asarray(inp), None if mask is None else jnp.asarray(mask)
         inp_s = jax.device_put(inp, batch_sharding(self.mesh, np.ndim(inp), axis))
         mask_s = None
@@ -163,6 +177,21 @@ class ChunkRunner:
             mask_s = jax.device_put(mask, batch_sharding(self.mesh,
                                                          np.ndim(mask), axis))
         return inp_s, mask_s
+
+    def shard_model(self, variables, opt_states):
+        """Tensor-parallel placement of variables + optimizer state over
+        the "model" axis (no-op when TP is off). The jitted steps then
+        inherit these shardings through donation."""
+        if self.mesh is None or self.mesh.shape["model"] == 1:
+            return variables, opt_states
+        from ..parallel import model_sharding_rules
+        rules_v = model_sharding_rules(self.mesh, variables)
+        variables = jax.tree_util.tree_map(jax.device_put, variables, rules_v)
+        if opt_states is not None:
+            rules_o = model_sharding_rules(self.mesh, opt_states)
+            opt_states = jax.tree_util.tree_map(jax.device_put, opt_states,
+                                                rules_o)
+        return variables, opt_states
 
     # ------------------------------------------------------------------
     def init_opt_states(self, variables):
@@ -327,6 +356,9 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
         if hasattr(net, "prepare_block_sparse"):
             net.prepare_block_sparse(variables[arch])
 
+    # tensor-parallel placement ([exp] model_parallel > 1)
+    variables, opt_states = runner.shard_model(variables, opt_states)
+
     seq_model = any(graph.seq_flags.values())
     rng_np = np.random.RandomState(seed)
     rng = jax.random.PRNGKey(seed)
@@ -338,8 +370,14 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
 
     if to_do == "forward":
         post_files = {}
+        from ..parallel.multihost import process_count, process_index
+        # multi-host: each host forwards its own utterance shard (see
+        # data.dataset.load_dataset) into a host-tagged ark so shared
+        # filesystems don't collide; decode globs match both forms
+        htag = "_h%d" % process_index() if process_count() > 1 else ""
         for i, fo in enumerate(forward_outs):
-            sfx = "_%s_to_decode.ark" % fo if require_decoding[i] else "_%s.ark" % fo
+            sfx = ("_%s%s_to_decode.ark" % (fo, htag) if require_decoding[i]
+                   else "_%s%s.ark" % (fo, htag))
             post_files[fo] = open(info_file.replace(".info", sfx), "wb")
         counts_log = {}
         for i, fo in enumerate(forward_outs):

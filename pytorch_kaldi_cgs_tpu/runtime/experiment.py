@@ -265,7 +265,7 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                     continue
                 ark_glob = os.path.join(
                     out_folder, "exp_files",
-                    "forward_%s_ep%s_ck*_%s_to_decode.ark" % (
+                    "forward_%s_ep%s_ck*_%s*_to_decode.ark" % (
                         fwd_data, format(ep, n_ep_fmt), fo))
                 dec_dir = os.path.join(out_folder,
                                        "decode_%s_out_%s" % (fwd_data, fo))

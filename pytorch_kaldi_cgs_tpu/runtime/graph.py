@@ -180,18 +180,18 @@ class NetGraph:
     # ------------------------------------------------------------------
     def _regularizer(self, op, variables) -> Array:
         """cost_l1/l2/gl over all >=2D params of all non-skip nets;
-        zeroed once the guided-HCGS phase is active
-        (ref: utils.py:24-60, :1954-1991)."""
-        first = self.net_order[0]
-        spec0 = getattr(self.nets[first], "spec", None)
-        if spec0 is not None and spec0.guided_hcgs and spec0.apply_guided_hcgs:
-            return jnp.zeros(())
+        each net drops out of the sum once ITS guided-HCGS phase is
+        active or it sets skip_regularization — per-net, not gated on
+        the first net (ref: utils.py:24-60, :1954-1991 zero per
+        condition; heterogeneous graphs mix guided and plain nets)."""
         lam = float(op.inputs[1])
         total = jnp.zeros(())
         for arch in self.net_order:
             net = self.nets[arch]
             spec = getattr(net, "spec", None)
-            if spec is not None and spec.skip_regularization:
+            if spec is not None and (
+                    spec.skip_regularization or
+                    (spec.guided_hcgs and spec.apply_guided_hcgs)):
                 continue
             for leaf in jax.tree_util.tree_leaves(variables[arch]["params"]):
                 if leaf.ndim < 2:

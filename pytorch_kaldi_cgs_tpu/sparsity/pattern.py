@@ -217,3 +217,101 @@ def find_top_k_by_similarity(weight: np.ndarray, candidates: np.ndarray,
 def cal_sparsity(mask: np.ndarray) -> float:
     """Fraction of zeros (ref: sparsity/sparsity.py:579-604)."""
     return 1.0 - float(np.count_nonzero(mask)) / mask.size
+
+
+# ---------------------------------------------------------------------------
+# similarity-driven pattern mining + storage-curve analysis
+# (ref: sparsity/sparsity.py:607-753 find_pattern_by_similarity,
+#  :754-798 pattern_curve_analyse)
+# ---------------------------------------------------------------------------
+
+def find_pattern_by_similarity(weight: np.ndarray, pattern_num: int,
+                               pattern_shape: Sequence[int], sparsity: float,
+                               coo_threshold: int):
+    """Greedy pattern mining: binarize by global sparsity threshold,
+    walk candidate blocks in ascending-nnz order, and let each live
+    candidate "absorb" every block whose nnz outside the candidate is
+    <= coo_threshold (those leftovers go to COO storage).
+
+    Returns (patterns, match_num, coo_nnz, nnz, inner_nnz) with patterns
+    (P, ph, pw) sorted by match count descending — same stats the
+    reference's dict machinery produces (ref: sparsity/sparsity.py:
+    607-753), vectorized over blocks instead of the triple python loop.
+    """
+    w = np.asarray(weight, dtype=np.float32)
+    ph, pw = pattern_shape
+    w_num = int(np.count_nonzero(w))
+    zero_num = int(w_num * sparsity)
+    flat = np.sort(np.abs(w).ravel())[::-1]
+    zero_threshold = abs(flat[w_num - zero_num - 1])
+    mask = (np.abs(w) > zero_threshold).astype(np.float32)
+
+    nx = (w.shape[0] - ph) // ph + 1
+    ny = (w.shape[1] - pw) // pw + 1
+    blocks = mask[:nx * ph, :ny * pw].reshape(nx, ph, ny, pw) \
+        .transpose(0, 2, 1, 3).reshape(nx * ny, ph * pw)
+    sums = blocks.sum(axis=1)
+    order = sorted(range(len(blocks)), key=lambda k: sums[k])  # stable asc
+
+    removed = np.zeros(len(blocks), dtype=bool)
+    stats = {}   # pattern bytes -> [inner_nnz, match_num, coo_nnz, nnz]
+    for b in order:
+        p = blocks[b]
+        if p.sum() < coo_threshold / 2:
+            continue
+        if removed[b]:
+            continue
+        outside = blocks @ (1.0 - p)            # nnz not covered by p
+        newly = (~removed) & (outside <= coo_threshold)
+        stats[p.tobytes()] = [float(p.sum()), float(newly.sum()),
+                              float(outside[newly].sum()),
+                              float(blocks[newly].sum())]
+        removed |= newly
+    assert removed.all(), "pattern mining left unabsorbed blocks"
+
+    # order by (match_num, pattern bytes) descending — the reference's
+    # sorted(zip(values, keys), reverse=True)
+    items = sorted(((v[1], k) for k, v in stats.items()), reverse=True)
+    P = min(pattern_num, len(items))
+    patterns = np.zeros((len(items), ph, pw), dtype=np.float32)
+    match_num = np.zeros(len(items))
+    coo_nnz = np.zeros(len(items))
+    nnz = np.zeros(len(items))
+    inner_nnz = np.zeros(len(items))
+    for i, (_, key) in enumerate(items):
+        patterns[i] = np.frombuffer(key, dtype=np.float32).reshape(ph, pw)
+        inner_nnz[i], match_num[i], coo_nnz[i], nnz[i] = stats[key]
+    return patterns[:max(P, len(items))], match_num, coo_nnz, nnz, inner_nnz
+
+
+def pattern_curve_analyse(raw_w_shape: Sequence[int],
+                          pattern_shape: Sequence[int],
+                          patterns: np.ndarray, pattern_match_num,
+                          pattern_coo_nnz, pattern_nnz, pattern_inner_nnz):
+    """Memory/compute cost curves over pattern-set sizes
+    (ref: sparsity/sparsity.py:754-798): for each candidate set size,
+    bits = pattern dictionaries + per-block pattern indices + COO indices
+    for leftovers and unmatched blocks; cal = kept multiplies."""
+    import math
+    pattern_match_num = np.asarray(pattern_match_num, dtype=np.float64)
+    pattern_coo_nnz = np.asarray(pattern_coo_nnz, dtype=np.float64)
+    pattern_nnz = np.asarray(pattern_nnz, dtype=np.float64)
+    pattern_inner_nnz = np.asarray(pattern_inner_nnz, dtype=np.float64)
+    idx_bits = math.log(pattern_shape[0], 2) + math.log(pattern_shape[1], 2)
+    memory_dict, cal_dict, coo_dict = {}, {}, {}
+    for pattern_num in [1, 2, 4, 8, 12, 16, 32, 64, 128, 256, 512]:
+        if pattern_num >= len(patterns) * 2:
+            break
+        pattern_bit_num = pattern_inner_nnz[:pattern_num].sum() * idx_bits
+        pattern_bit = 1 if pattern_num == 1 else math.log(pattern_num, 2)
+        pattern_idx_bit_num = pattern_bit * pattern_match_num[:pattern_num].sum()
+        coo_idx_num = (pattern_coo_nnz[:pattern_num].sum()
+                       + pattern_nnz[pattern_num:].sum())
+        coo_idx_bit_num = idx_bits * coo_idx_num
+        memory_dict[pattern_num] = (pattern_idx_bit_num + coo_idx_bit_num
+                                    + pattern_bit_num)
+        cal_dict[pattern_num] = ((pattern_match_num[:pattern_num]
+                                  * pattern_inner_nnz[:pattern_num]).sum()
+                                 + coo_idx_num)
+        coo_dict[pattern_num] = coo_idx_num
+    return memory_dict, cal_dict, coo_dict

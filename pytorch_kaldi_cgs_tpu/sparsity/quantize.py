@@ -65,3 +65,54 @@ def ste_quantize_weight(w: jnp.ndarray, num_bits: int) -> jnp.ndarray:
 
 def ste_quantize_input(x: jnp.ndarray, num_bits: int) -> jnp.ndarray:
     return _ste(x, quantize_input(x, num_bits))
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (binary) networks (ref: quantized_modules.py:30-34 Binarize,
+# :143-178 BinarizeLinear, :247-267 BinarizeConv2d). NB the ceil
+# quantizer at num_bits=1 already reduces to sign() on [-1,1]-clipped
+# weights — ceil(|w|)/1 = 1 for any nonzero w — so ``param_quant = 1``
+# through ste_quantize_weight IS the deterministic binary path; these
+# give it an explicit API plus the stochastic variant.
+# ---------------------------------------------------------------------------
+
+def binarize(w: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic binarization: sign(w) (sign(0) = 0, like torch)."""
+    return jnp.sign(w)
+
+
+def binarize_stochastic(w: jnp.ndarray, key) -> jnp.ndarray:
+    """Stochastic binarization (ref Binarize quant_mode!='det'):
+    P(+1) = clip((w+1)/2, 0, 1) via additive U(-0.5, 0.5) + round."""
+    u = jax.random.uniform(key, w.shape, w.dtype, -0.5, 0.5)
+    return jnp.round(jnp.clip((w + 1.0) / 2.0 + u, 0.0, 1.0)) * 2.0 - 1.0
+
+
+def ste_binarize(w: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through sign() for training (the BinarizeLinear
+    quantize-matmul-restore trick, functionally)."""
+    return _ste(w, binarize(w))
+
+
+def binary_linear(x: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """F.linear with sign-binarized weights (ref BinarizeLinear.forward)."""
+    y = x @ ste_binarize(w).T
+    return y if b is None else y + b
+
+
+def binary_conv2d(x: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray | None = None, stride=(1, 1),
+                  padding="VALID", binarize_input: bool = True
+                  ) -> jnp.ndarray:
+    """conv2d with sign-binarized weights (+inputs unless the input is
+    3-channel RGB, ref BinarizeConv2d.forward). x: (N, C, H, W),
+    w: (O, I, kH, kW) — torch layouts."""
+    if binarize_input and x.shape[1] != 3:
+        x = _ste(x, binarize(x))
+    y = jax.lax.conv_general_dilated(
+        x, ste_binarize(w), window_strides=tuple(stride), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    return y

@@ -1,5 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh: DP+TP sharded
 training step, graft entry contract."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,3 +72,102 @@ def test_graft_dryrun_multichip():
 def test_graft_dryrun_two_devices():
     import __graft_entry__ as g
     g.dryrun_multichip(2)
+
+
+def test_production_dp_tp_matches_single_device_loss(tmp_path):
+    """VERDICT item 5 'done when': the *production* chunk path
+    ([exp] multi_gpu + model_parallel=2) reproduces the single-device
+    training losses on the 8-device CPU mesh."""
+    import configparser
+    import glob
+    import os
+
+    from pytorch_kaldi_cgs_tpu.data import synth
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    from pytorch_kaldi_cgs_tpu.utils import make_synth_cfg
+
+    root = str(tmp_path / "data")
+    synth.generate(root, synth.SynthSpec(
+        num_utts=16, num_phones=4, states_per_phone=2, feat_dim=8,
+        min_len=24, max_len=48, noise=0.4, seed=5))
+
+    losses = {}
+    for name, mg, mp in (("single", False, 1), ("dptp", True, 2)):
+        out = str(tmp_path / ("exp_" + name))
+        cfg = make_synth_cfg(str(tmp_path / (name + ".cfg")), root, out,
+                             model="MLP", hidden=32, n_epochs=1, n_chunks=1,
+                             batch_size=64, lr=0.04, cw=1,
+                             multi_gpu=mg, model_parallel=mp)
+        run_exp(cfg)
+        infos = sorted(glob.glob(os.path.join(out, "exp_files",
+                                              "train_*.info")))
+        c = configparser.ConfigParser()
+        c.read(infos[-1])
+        losses[name] = float(c["results"]["loss"])
+    # same arithmetic, different reduction placement: tight tolerance
+    np.testing.assert_allclose(losses["dptp"], losses["single"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multihost_data_sharding(tmp_path, monkeypatch):
+    """Each simulated host loads a disjoint interleaved utterance shard;
+    the union is the full chunk (wired through
+    data.dataset.load_dataset -> parallel.multihost.shard_scp_for_host).
+    jax.distributed degrades to single-process in this sandbox, so host
+    identity comes from the PKC_PROCESS_* simulation hooks."""
+    from pytorch_kaldi_cgs_tpu.data import synth
+    from pytorch_kaldi_cgs_tpu.data.dataset import load_dataset
+
+    root = str(tmp_path / "data")
+    synth.generate(root, synth.SynthSpec(
+        num_utts=10, num_phones=4, states_per_phone=2, feat_dim=6,
+        min_len=20, max_len=40, noise=0.3, seed=11))
+    scp = os.path.join(root, "train", "feats.scp")
+    lab = os.path.join(root, "train_ali")
+
+    all_names, _, _, _ = load_dataset(scp, "", lab, "ali-to-pdf", -1)
+
+    monkeypatch.setenv("PKC_PROCESS_COUNT", "2")
+    shards = []
+    for h in range(2):
+        monkeypatch.setenv("PKC_PROCESS_INDEX", str(h))
+        names, frames, labs, ei = load_dataset(scp, "", lab, "ali-to-pdf", -1)
+        assert len(names) > 0
+        assert frames.shape[0] == int(ei[-1])
+        shards.append(set(names))
+    assert shards[0].isdisjoint(shards[1])
+    assert shards[0] | shards[1] == set(all_names)
+
+
+def test_multihost_forward_ark_tagging(tmp_path, monkeypatch):
+    """With 2 simulated hosts, each forward pass writes its own
+    host-tagged ark covering its shard; the decode glob matches both."""
+    import glob
+
+    from pytorch_kaldi_cgs_tpu.data import synth
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    from pytorch_kaldi_cgs_tpu.utils import make_synth_cfg
+
+    root = str(tmp_path / "data")
+    synth.generate(root, synth.SynthSpec(
+        num_utts=12, num_phones=4, states_per_phone=2, feat_dim=6,
+        min_len=20, max_len=40, noise=0.3, seed=13))
+    # host 0 trains+forwards its shard; host 1 then forwards its own
+    # (resume semantics skip completed chunks, so only forward reruns
+    # after we delete host-0's forward .info markers)
+    out = str(tmp_path / "exp")
+    cfg = make_synth_cfg(str(tmp_path / "mh.cfg"), root, out,
+                         model="MLP", hidden=24, n_epochs=1, n_chunks=1,
+                         batch_size=32, lr=0.04, cw=0)
+    monkeypatch.setenv("PKC_PROCESS_COUNT", "2")
+    monkeypatch.setenv("PKC_PROCESS_INDEX", "0")
+    run_exp(cfg)
+    for p in glob.glob(os.path.join(out, "exp_files", "forward_*.info")):
+        os.remove(p)
+    monkeypatch.setenv("PKC_PROCESS_INDEX", "1")
+    run_exp(cfg)
+    arks = sorted(glob.glob(os.path.join(out, "exp_files",
+                                         "forward_*_to_decode.ark")))
+    tags = {a.rsplit("_", 3)[-3] for a in arks}
+    assert any("_h0_" in a for a in arks), arks
+    assert any("_h1_" in a for a in arks), arks
