@@ -74,7 +74,9 @@ def bench_point(K, N, M, drop_pct, fwd_bwd: bool, dtype=jnp.float32):
 
         def dense_step(c):
             def loss(x, w):
-                return jnp.sum(jnp.dot(x, w, preferred_element_type=jnp.float32) * gy_d)
+                # quadratic: grads need y, so fwd+dx+dw all execute
+                y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+                return 0.5 * jnp.sum((y - gy_d) ** 2)
             dx, dw = jax.grad(loss, argnums=(0, 1))(c, w_cat)
             # consume dw with a nonzero coefficient: *0 lets XLA DCE the
             # whole dw matmul
@@ -84,8 +86,9 @@ def bench_point(K, N, M, drop_pct, fwd_bwd: bool, dtype=jnp.float32):
 
         def v3_step(c):
             def loss(x, w3_):
-                return jnp.sum(BS.block_sparse_matmul_v3(
-                    x, w3_, w3csc, layout, G, tile_m=256) * gy)
+                y = BS.block_sparse_matmul_v3(
+                    x, w3_, w3csc, layout, G, tile_m=256)
+                return 0.5 * jnp.sum((y - gy) ** 2)
             dx, dw3 = jax.grad(loss, argnums=(0, 1))(c, w3)
             return c + (dx * 1e-6 +
                         jnp.sum(dw3) * jnp.asarray(1e-12, jnp.float32)
@@ -134,7 +137,9 @@ def main():
             print("%s: dense %7.3f ms | v3 %7.3f ms | speedup %.2fx"
                   % (tag, d * 1e3, v * 1e3, d / v), flush=True)
         else:
-            print("%s: dense %s v3 %s" % (tag, d, v), flush=True)
+            print("%s: dense %s ms | v3 %s ms" % (
+                tag, "%.3f" % (d * 1e3) if d else None,
+                "%.3f" % (v * 1e3) if v else None), flush=True)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,38 @@ PkcFst* pkc_fst_load_text(const char* path) {
   return fst;
 }
 
+PkcFst* pkc_fst_load_raw(int64_t num_states, int32_t start,
+                         const double* final_cost, int64_t num_arcs,
+                         const int32_t* src, const int32_t* dst,
+                         const int32_t* ilabel, const int32_t* olabel,
+                         const float* cost) {
+  // bulk CSR build from flat arc arrays (the OpenFst binary reader on
+  // the Python side hands HCLG graphs over through this)
+  if (num_states <= 0 || start < 0 || start >= num_states) return nullptr;
+  auto* fst = new PkcFst();
+  fst->start = start;
+  fst->final_cost.assign(final_cost, final_cost + num_states);
+  std::vector<int64_t> counts(num_states + 1, 0);
+  for (int64_t i = 0; i < num_arcs; ++i) {
+    if (src[i] < 0 || src[i] >= num_states || dst[i] < 0 ||
+        dst[i] >= num_states) {
+      delete fst;
+      return nullptr;
+    }
+    counts[src[i] + 1]++;
+  }
+  for (int64_t i = 0; i < num_states; ++i) counts[i + 1] += counts[i];
+  fst->arc_offset = counts;
+  fst->arcs.resize(num_arcs);
+  std::vector<int64_t> cursor(fst->arc_offset.begin(),
+                              fst->arc_offset.end() - 1);
+  for (int64_t i = 0; i < num_arcs; ++i) {
+    fst->arcs[cursor[src[i]]++] = Arc{dst[i], ilabel[i], olabel[i], cost[i]};
+  }
+  fst->num_arcs = num_arcs;
+  return fst;
+}
+
 void pkc_fst_free(PkcFst* fst) { delete fst; }
 int64_t pkc_fst_num_states(const PkcFst* fst) {
   return (int64_t)fst->final_cost.size();

@@ -19,6 +19,15 @@ typedef struct PkcFst PkcFst;
 
 // Load a text FST. Returns nullptr on parse failure.
 PkcFst* pkc_fst_load_text(const char* path);
+
+// Bulk CSR build from flat arc arrays (numpy-friendly; the OpenFst
+// binary reader feeds HCLG graphs through this). Returns nullptr on
+// out-of-range states.
+PkcFst* pkc_fst_load_raw(int64_t num_states, int32_t start,
+                         const double* final_cost, int64_t num_arcs,
+                         const int32_t* src, const int32_t* dst,
+                         const int32_t* ilabel, const int32_t* olabel,
+                         const float* cost);
 void pkc_fst_free(PkcFst* fst);
 int64_t pkc_fst_num_states(const PkcFst* fst);
 int64_t pkc_fst_num_arcs(const PkcFst* fst);

@@ -44,6 +44,11 @@ class SynthSpec:
     max_seg: int = 20
     noise: float = 0.6
     seed: int = 1234
+    # word-level task: >0 builds a random lexicon of this many words
+    # (2-4 phones each); utterances become word sequences, `text` holds
+    # word transcripts, and the graph dir gains lexicon.txt/words.txt
+    # for HCLG construction (the LibriSpeech-class capability)
+    lexicon_size: int = 0
 
     @property
     def num_pdfs(self) -> int:
@@ -65,6 +70,18 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
     rng = np.random.RandomState(spec.seed)
     # class-conditional means shared across splits
     means = rng.randn(spec.num_pdfs, spec.feat_dim) * 2.0
+    # word-level mode: fixed random lexicon (distinct pronunciations)
+    lexicon: Dict[str, List[int]] = {}
+    if spec.lexicon_size > 0:
+        seen = set()
+        while len(lexicon) < spec.lexicon_size:
+            pron = tuple(rng.randint(spec.num_phones)
+                         for _ in range(rng.randint(2, 5)))
+            if pron in seen:
+                continue
+            seen.add(pron)
+            lexicon["w%03d" % len(lexicon)] = list(pron)
+        lex_words = sorted(lexicon)
     tmodel = TransitionModel.identity(spec.num_pdfs)
     # phone of pdf p is p // states_per_phone; expose through tid2phone
     tmodel.tid2phone = np.concatenate(
@@ -89,9 +106,10 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
                 utt = "%s_utt%03d" % (split, u)
                 T = rng.randint(spec.min_len, spec.max_len + 1)
                 phones: List[int] = []
+                words: List[str] = []
                 pdf_seq: List[int] = []
-                while len(pdf_seq) < T:
-                    ph = rng.randint(spec.num_phones)
+
+                def emit_phone(ph: int) -> None:
                     seg = rng.randint(spec.min_seg, spec.max_seg + 1)
                     phones.append(ph)
                     # walk sub-states left to right within the segment
@@ -99,6 +117,19 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
                         state = min(i * spec.states_per_phone // seg,
                                     spec.states_per_phone - 1)
                         pdf_seq.append(ph * spec.states_per_phone + state)
+
+                if lexicon:
+                    # word-level: sample whole words until T frames filled
+                    while len(pdf_seq) < T:
+                        wd = lex_words[rng.randint(len(lex_words))]
+                        words.append(wd)
+                        for ph in lexicon[wd]:
+                            emit_phone(ph)
+                    # never truncate mid-word: extend T to the word end
+                    T = len(pdf_seq)
+                else:
+                    while len(pdf_seq) < T:
+                        emit_phone(rng.randint(spec.num_phones))
                 pdf_seq = np.array(pdf_seq[:T], dtype=np.int32)
                 feats = means[pdf_seq] + rng.randn(T, spec.feat_dim) * spec.noise
                 w.write(utt, feats.astype(np.float32))
@@ -106,7 +137,11 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
                 kaldi_io.write_vec_int(ali_buf, pdf_seq + 1, key=utt)
                 counts += np.bincount(pdf_seq, minlength=spec.num_pdfs)
                 utt2spk.write("%s spk%d\n" % (utt, u % 5))
-                text.write("%s %s\n" % (utt, " ".join(str(p) for p in phones)))
+                if lexicon:
+                    text.write("%s %s\n" % (utt, " ".join(words)))
+                else:
+                    text.write("%s %s\n" % (utt,
+                                            " ".join(str(p) for p in phones)))
         utt2spk.close()
         text.close()
         ali_buf.close()
@@ -114,12 +149,26 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
         write_prior_counts(counts, os.path.join(ali_dir, "ali_train_pdf.counts"))
         out[split] = data_dir
         out[split + "_ali"] = ali_dir
-    # a phone-level "graph" descriptor for the decoder (phone-loop HMM)
+    # "graph" descriptor for the decoder: phone-loop HMM, or a word task
+    # with lexicon/word-symbol files for HCLG construction
     graph_dir = os.path.join(root, "graph")
     os.makedirs(graph_dir, exist_ok=True)
-    with open(os.path.join(graph_dir, "graph.json"), "w") as f:
-        json.dump({"type": "phone_loop", "num_phones": spec.num_phones,
-                   "states_per_phone": spec.states_per_phone}, f)
+    if lexicon:
+        with open(os.path.join(graph_dir, "graph.json"), "w") as f:
+            json.dump({"type": "word", "num_phones": spec.num_phones,
+                       "states_per_phone": spec.states_per_phone}, f)
+        with open(os.path.join(graph_dir, "lexicon.txt"), "w") as f:
+            for wd in lex_words:
+                f.write("%s %s\n" % (wd, " ".join(str(p)
+                                                  for p in lexicon[wd])))
+        with open(os.path.join(graph_dir, "words.txt"), "w") as f:
+            f.write("<eps> 0\n")
+            for i, wd in enumerate(lex_words):
+                f.write("%s %d\n" % (wd, i + 1))
+    else:
+        with open(os.path.join(graph_dir, "graph.json"), "w") as f:
+            json.dump({"type": "phone_loop", "num_phones": spec.num_phones,
+                       "states_per_phone": spec.states_per_phone}, f)
     out["graph"] = graph_dir
     return out
 

@@ -62,6 +62,67 @@ def _decode_one_ark(ark_path: str, hmm: PhoneLoopHMM, acwt: float,
     return hyps
 
 
+def _word_graph_files(graph_dir: str):
+    """Detect a word-level graph dir: an externally built HCLG
+    (OpenFst binary or our text dialect) + words.txt, or a lexicon to
+    build the graph from (decode.graph)."""
+    import json
+    words_txt = os.path.join(graph_dir, "words.txt")
+    if not os.path.exists(words_txt):
+        return None
+    for name in ("HCLG.fst", "HCLG.fst.txt"):
+        p = os.path.join(graph_dir, name)
+        if os.path.exists(p):
+            return p, words_txt
+    gj = os.path.join(graph_dir, "graph.json")
+    lex = os.path.join(graph_dir, "lexicon.txt")
+    if os.path.exists(gj) and os.path.exists(lex):
+        with open(gj) as f:
+            meta = json.load(f)
+        if meta.get("type") == "word":
+            return ("__build__", words_txt, lex,
+                    int(meta["states_per_phone"]))
+    return None
+
+
+def _load_word_fst_data(graph_dir: str, spec):
+    """FstData for a word graph, built ONCE before the decode pool
+    (building + atomically caching HCLG when the dir only carries
+    lexicon/words files); workers each build their own CSR from it."""
+    from .openfst import read_fst, read_fst_text
+    if spec[0] == "__build__":
+        _, words_txt, lex_path, spp = spec
+        from .openfst import read_symbol_table, write_fst
+        from .graph import build_word_graph, read_lexicon
+        cache = os.path.join(graph_dir, "HCLG.fst")
+        if not os.path.exists(cache):
+            word_ids = read_symbol_table(words_txt)
+            lexicon = read_lexicon(lex_path, {})
+            word_ids = {w: i for w, i in word_ids.items() if i > 0}
+            hclg = build_word_graph(lexicon, word_ids, spp)
+            tmp = cache + ".tmp.%d" % os.getpid()
+            write_fst(tmp, hclg)
+            os.replace(tmp, cache)       # atomic vs concurrent decoders
+            return hclg
+        return read_fst(cache)
+    path = spec[0]
+    if path.endswith(".txt"):
+        data = read_fst_text(path)
+    else:
+        data = read_fst(path)
+    for mdl in ("final.mdl", "final.mdl.json"):
+        if os.path.exists(os.path.join(graph_dir, mdl)):
+            # Kaldi HCLG ilabels are transition ids -> pdf+1
+            from ..data.dataset import find_transition_model
+            tmodel = find_transition_model(graph_dir)
+            il = data.arcs["ilabel"]
+            nz = il > 0
+            remap = np.asarray(tmodel.tid2pdf, np.int32)
+            data.arcs["ilabel"][nz] = remap[il[nz]] + 1
+            break
+    return data
+
+
 def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
                text_file: str, acwt: float = 0.2, beam: float = 13.0,
                max_active: int = 7000,
@@ -71,15 +132,18 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
     """Decode every ark matching ``ark_glob``, score, write results.
 
     engine: "native" (C++ WFST beam decoder), "jax" (batched on-device
-    Viterbi), or "auto" (native when the library is available). Returns
-    the score dict (wer/sub/ins/del/...). Writes ``<out_dir>/hyp.txt``,
-    ``<out_dir>/wer`` and ``scoring_summary``.
+    Viterbi), or "auto" (native when the library is available). Word
+    graphs (HCLG.fst + words.txt, or a lexicon-bearing graph dir) decode
+    word sequences and score WER; otherwise the phone loop scores PER.
+    Returns the score dict (wer/sub/ins/del/...). Writes
+    ``<out_dir>/hyp.txt``, ``<out_dir>/wer`` and ``scoring_summary``.
     """
     os.makedirs(out_dir, exist_ok=True)
-    hmm = PhoneLoopHMM.from_graph_dir(graph_dir)
     arks = sorted(glob.glob(ark_glob))
     if not arks:
         raise FileNotFoundError("no posterior arks match %s" % ark_glob)
+
+    word_spec = _word_graph_files(graph_dir)
 
     use_native = False
     if engine in ("auto", "native"):
@@ -88,10 +152,30 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
             use_native = True
         elif engine == "native":
             raise RuntimeError("native decoder requested but unavailable")
+    if word_spec is not None and not use_native:
+        raise RuntimeError("word-level decoding requires the native "
+                           "decoder (make -C native)")
 
     hyps: Dict[str, List[int]] = {}
-    if use_native:
+    if word_spec is not None:
         from .. import native as N
+        from .openfst import invert_symbols, read_symbol_table
+        id2word = invert_symbols(read_symbol_table(word_spec[1]))
+        fst_data = _load_word_fst_data(graph_dir, word_spec)
+        with futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            def work(a):
+                fst = N.NativeFst.from_data(fst_data)  # per-worker CSR
+                out: Dict[str, List] = {}
+                for key, mat in N.read_mat_ark_native(a):
+                    ids = fst.decode(mat, beam=beam, max_active=max_active,
+                                     acwt=acwt)
+                    out[key] = [id2word.get(i, "<unk>") for i in ids]
+                return out
+            for part in ex.map(work, arks):
+                hyps.update(part)
+    elif use_native:
+        from .. import native as N
+        hmm = PhoneLoopHMM.from_graph_dir(graph_dir)
         fst_txt = os.path.join(graph_dir, "phone_loop.fst.txt")
         if not os.path.exists(fst_txt):
             N.build_phone_loop_fst(fst_txt, hmm.num_phones,
@@ -103,15 +187,19 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
             for part in ex.map(work, arks):
                 hyps.update(part)
     else:
+        hmm = PhoneLoopHMM.from_graph_dir(graph_dir)
         with futures.ThreadPoolExecutor(max_workers=num_workers) as ex:
             for part in ex.map(lambda a: _decode_one_ark(a, hmm, acwt), arks):
                 hyps.update(part)
 
-    refs: Dict[str, List[int]] = {}
+    refs: Dict[str, List] = {}
     with open(text_file) as f:
         for line in f:
             parts = line.split()
-            refs[parts[0]] = [int(t) for t in parts[1:]]
+            if word_spec is not None:
+                refs[parts[0]] = parts[1:]          # word strings
+            else:
+                refs[parts[0]] = [int(t) for t in parts[1:]]
     refs = {k: v for k, v in refs.items()
             if k in hyps or any(h.startswith(k) for h in hyps)}
 

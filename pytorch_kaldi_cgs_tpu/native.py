@@ -58,6 +58,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                       ctypes.c_int64]
     lib.pkc_fst_load_text.restype = ctypes.c_void_p
     lib.pkc_fst_load_text.argtypes = [ctypes.c_char_p]
+    lib.pkc_fst_load_raw.restype = ctypes.c_void_p
+    lib.pkc_fst_load_raw.argtypes = [ctypes.c_int64, ctypes.c_int32,
+                                     ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
     lib.pkc_fst_free.argtypes = [ctypes.c_void_p]
     lib.pkc_fst_num_states.restype = ctypes.c_int64
     lib.pkc_fst_num_states.argtypes = [ctypes.c_void_p]
@@ -170,14 +176,61 @@ def write_mat_native(path: str, key: str, mat: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 class NativeFst:
-    def __init__(self, path: str):
+    def __init__(self, path: Optional[str] = None, _fst=None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
-        self._fst = lib.pkc_fst_load_text(path.encode())
+        if _fst is not None:
+            self._fst = _fst
+        else:
+            self._fst = lib.pkc_fst_load_text(path.encode())
         if not self._fst:
             raise IOError("failed to load FST %s" % path)
+
+    @classmethod
+    def from_data(cls, fst_data) -> "NativeFst":
+        """Build from a decode.openfst.FstData arc table (bulk CSR)."""
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        finals = np.ascontiguousarray(fst_data.final, np.float64)
+        src = np.ascontiguousarray(fst_data.src, np.int32)
+        dst = np.ascontiguousarray(fst_data.arcs["nextstate"], np.int32)
+        il = np.ascontiguousarray(fst_data.arcs["ilabel"], np.int32)
+        ol = np.ascontiguousarray(fst_data.arcs["olabel"], np.int32)
+        w = np.ascontiguousarray(fst_data.arcs["weight"], np.float32)
+        ptr = lib.pkc_fst_load_raw(
+            fst_data.num_states, fst_data.start,
+            finals.ctypes.data_as(ctypes.c_void_p), fst_data.num_arcs,
+            src.ctypes.data_as(ctypes.c_void_p),
+            dst.ctypes.data_as(ctypes.c_void_p),
+            il.ctypes.data_as(ctypes.c_void_p),
+            ol.ctypes.data_as(ctypes.c_void_p),
+            w.ctypes.data_as(ctypes.c_void_p))
+        if not ptr:
+            raise ValueError("invalid FST data (out-of-range states?)")
+        return cls(_fst=ptr)
+
+    @classmethod
+    def from_file(cls, path: str, tmodel=None) -> "NativeFst":
+        """Load a text FST, or an OpenFst binary (vector/const) graph —
+        e.g. an externally built Kaldi HCLG.fst. Kaldi HCLG ilabels are
+        transition ids; pass the experiment's TransitionModel to remap
+        them to the decoder's pdf+1 convention."""
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        from .decode import openfst as OF
+        import struct as _struct
+        if len(magic) == 4 and _struct.unpack("<i", magic)[0] == OF.FST_MAGIC:
+            data = OF.read_fst(path)
+            if tmodel is not None:
+                il = data.arcs["ilabel"]
+                nz = il > 0
+                remap = np.asarray(tmodel.tid2pdf, np.int32)
+                data.arcs["ilabel"][nz] = remap[il[nz]] + 1
+            return cls.from_data(data)
+        return cls(path)
 
     @property
     def num_states(self) -> int:

@@ -678,71 +678,126 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
 
 
 def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    """Row-stationary dx: grid (M/TILE,); the (TILE, K) dx row-block
+    accumulates in VMEM while gy blocks and w3 blocks stream through
+    double buffers — gy and w3 are each read exactly ONCE per row-block
+    (the earlier column-parallel design auto-fetched the whole
+    (TILE, Nb*G*bs) gy row per output column: Kb x the traffic, measured
+    0.63x vs dense at 2048/75%)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    bs, C, Kb, Nb = layout.bs, layout.C, layout.Kb, layout.Nb
+    bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    def kernel(t_row_ref, gy_ref, w_ref, o_ref, gg_ref):
-        c = pl.program_id(1)
-        for k in range(C):
-            tr = t_row_ref[c * C + k]
-            gg_ref[:, k * G * bs:(k + 1) * G * bs] = \
-                gy_ref[0, :, pl.ds(tr * G * bs, G * bs)]
-        o_ref[...] = jax.lax.dot_general(
-            gg_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    def kernel(col_idx_ref, gy_ref, w_ref, o_ref, acc_ref, gy_buf, w_buf,
+               sems):
+        i = pl.program_id(0)
 
-    def call(gy_grouped, w3csc):
-        M = gy_grouped.shape[0] * TILE_M
-        grid = (M // TILE_M, Kb)
+        def gy_dma(slot, j):
+            return pltpu.make_async_copy(
+                gy_ref.at[pl.ds(i * TILE_M, TILE_M),
+                          pl.ds(j * G * bs, G * bs)],
+                gy_buf.at[slot], sems.at[slot])
+
+        def w_dma(slot, j):
+            return pltpu.make_async_copy(
+                w_ref.at[j], w_buf.at[slot], sems.at[2 + slot])
+
+        gy_dma(0, 0).start()
+        w_dma(0, 0).start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(j, _):
+            slot = jax.lax.rem(j, 2)
+            nxt = jax.lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < Nb)
+            def _():
+                gy_dma(nxt, j + 1).start()
+                w_dma(nxt, j + 1).start()
+
+            gy_dma(slot, j).wait()
+            w_dma(slot, j).wait()
+            part = jax.lax.dot_general(
+                gy_buf[slot], w_buf[slot], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (TILE, R*bs)
+            for k in range(R):
+                ci = col_idx_ref[j * R + k]
+                acc_ref[:, pl.ds(ci * bs, bs)] += part[:, k * bs:(k + 1) * bs]
+            return 0
+
+        jax.lax.fori_loop(0, Nb, body, 0)
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def call(gy_flat, w3, dtype):
+        M = gy_flat.shape[0]
+        grid = (M // TILE_M,)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((1, TILE_M, Nb * G * bs),
-                                 lambda i, c, tr: (i, 0, 0)),
-                    pl.BlockSpec((1, C * G * bs, bs),
-                                 lambda i, c, tr: (c, 0, 0)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
                 ],
-                out_specs=pl.BlockSpec((TILE_M, bs),
-                                       lambda i, c, tr: (i, c)),
-                scratch_shapes=[pltpu.VMEM((TILE_M, C * G * bs), jnp.float32)],
+                out_specs=pl.BlockSpec((TILE_M, layout.K),
+                                       lambda i, ci: (i, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((TILE_M, layout.K), jnp.float32),
+                    pltpu.VMEM((2, TILE_M, G * bs), gy_flat.dtype),
+                    pltpu.VMEM((2, G * bs, R * bs), w3.dtype),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
             ),
-            out_shape=jax.ShapeDtypeStruct((M, layout.K), gy_grouped.dtype),
+            out_shape=jax.ShapeDtypeStruct((M, layout.K), dtype),
             interpret=interpret,
-        )(jnp.asarray(layout.t_row_idx), gy_grouped, w3csc)
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * layout.nnz * bs * bs * G,
+                bytes_accessed=(M * G * layout.N + layout.nnz * G * bs * bs
+                                + M * layout.K) * 4,
+                transcendentals=0),
+        )(jnp.asarray(layout.col_idx), gy_flat, w3)
 
     return call
 
 
 def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+    """dw: grid (Nb, M/T), per-out-block accumulator (G*bs, R*bs) in
+    VMEM; only the R kept x column-blocks are DMA'd (the earlier version
+    auto-fetched the full (TILE, K) x row per (j, m): Kb/R x the x
+    traffic)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    def kernel(col_idx_ref, gy_ref, x_ref, o_ref, xg_ref, acc_ref):
+    def kernel(col_idx_ref, gy_ref, x_ref, o_ref, xg_ref, acc_ref, sems):
         j = pl.program_id(0)
         m = pl.program_id(1)
         n_m = pl.num_programs(1)
         for k in range(R):
             ci = col_idx_ref[j * R + k]
-            xg_ref[:, k * bs:(k + 1) * bs] = x_ref[:, pl.ds(ci * bs, bs)]
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                xg_ref.at[:, k * bs:(k + 1) * bs], sems.at[k]).start()
+        for k in range(R):
+            ci = col_idx_ref[j * R + k]
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                xg_ref.at[:, k * bs:(k + 1) * bs], sems.at[k]).wait()
 
         @pl.when(m == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         acc_ref[...] += jax.lax.dot_general(
-            gy_ref[0], xg_ref[...], (((0,), (0,)), ((), ())),
+            gy_ref[...], xg_ref[...], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         @pl.when(m == n_m - 1)
         def _():
             o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
-    def call(gy_grouped, x):
+    def call(gy_flat, x, dtype):
         M = x.shape[0]
         grid = (Nb, M // TILE_M)
         return pl.pallas_call(
@@ -751,20 +806,24 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((1, TILE_M, G * bs),
-                                 lambda j, m, ci: (m, 0, j)),
-                    pl.BlockSpec((TILE_M, layout.K),
-                                 lambda j, m, ci: (m, 0)),
+                    pl.BlockSpec((TILE_M, G * bs),
+                                 lambda j, m, ci: (m, j)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
                 ],
                 out_specs=pl.BlockSpec((1, G * bs, R * bs),
                                        lambda j, m, ci: (j, 0, 0)),
-                scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), jnp.float32),
-                                pltpu.VMEM((G * bs, R * bs), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), x.dtype),
+                                pltpu.VMEM((G * bs, R * bs), jnp.float32),
+                                pltpu.SemaphoreType.DMA((R,))],
             ),
-            out_shape=jax.ShapeDtypeStruct((Nb, G * bs, R * bs),
-                                           gy_grouped.dtype),
+            out_shape=jax.ShapeDtypeStruct((Nb, G * bs, R * bs), dtype),
             interpret=interpret,
-        )(jnp.asarray(layout.col_idx), gy_grouped, x)
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * layout.nnz * bs * bs * G,
+                bytes_accessed=(M * G * layout.N + M * layout.R * bs
+                                + layout.nnz * G * bs * bs) * 4,
+                transcendentals=0),
+        )(jnp.asarray(layout.col_idx), gy_flat, x)
 
     return call
 
@@ -790,11 +849,21 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
         raise ValueError("M=%d not divisible by tile_m=%d" % (M, tile_m))
     G = n_mats
     bs, Nb = layout.bs, layout.Nb
-    fwd, dxk, dwk = _build_v3_ops(layout, G, tile_m, interpret)
+    fwd, _, _ = _build_v3_ops(layout, G, tile_m, interpret)
+    # backward tile: the dx kernel keeps TWO (TILE, K) f32 row-blocks in
+    # VMEM (accumulator + output) — bound them to ~8MB total
+    tile_bwd = min(tile_m,
+                   max(8, (1024 * 1024 // layout.K) // 8 * 8))
+    while tile_bwd > 8 and M % tile_bwd:
+        tile_bwd //= 2
+    _, dxk, dwk = _build_v3_ops(layout, G, tile_bwd, interpret)
 
-    def _regroup(g):
+    def _flatten_cotangent(g):
+        """(G, M, N) -> (M, Nb*G*bs): block j's columns hold all G
+        gates' bs-wide slices for out-block j (the layout both backward
+        kernels stream)."""
         gg = g.reshape(G, M, Nb, bs).transpose(1, 2, 0, 3)
-        return gg.reshape(M // tile_m, tile_m, Nb * G * bs)
+        return gg.reshape(M, Nb * G * bs)
 
     @jax.custom_vjp
     def _op(x, w3, w3csc):
@@ -805,9 +874,9 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
 
     def _bwd_rule(res, g):
         x, w3, w3csc = res
-        gg = _regroup(g)
-        dx = dxk(gg, w3csc)
-        dw3 = dwk(gg, x)
+        gg = _flatten_cotangent(g)
+        dx = dxk(gg, w3, x.dtype)
+        dw3 = dwk(gg, x, w3.dtype)
         return dx, dw3, jnp.zeros_like(w3csc)
 
     _op.defvjp(_fwd_rule, _bwd_rule)

@@ -290,6 +290,20 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                     print("decoding skipped: %s" % e)
                     log("decoding skipped: %s" % e)
     res_file.close()
+
+    # training curves + architecture diagram at completion
+    # (ref: utils.py:2104-2220 auto loss.png/acc.png; :1417-1532 model.svg)
+    try:
+        from .plots import create_curves
+        create_curves(out_folder, n_ep, valid_lst)
+    except Exception as e:   # plotting must never fail the experiment
+        log("create_curves skipped: %s" % e)
+    try:
+        from ..utils.diagram import create_block_diagram
+        create_block_diagram(config, out_folder)
+    except Exception as e:
+        log("create_block_diagram skipped: %s" % e)
+
     log("run_exp done")
     log_file.close()
     results["res_file"] = res_path

@@ -113,6 +113,12 @@ def test_end_to_end_mlp(synth_root):
     assert os.path.exists(os.path.join(out_folder, "exp_files",
                                        "final_architecture1.pkl"))
 
+    # observability tail: curves + architecture diagram auto-generated
+    # (ref: utils.py:2104-2220, :1417-1532)
+    for rel in ("generated_outputs/loss.png", "generated_outputs/acc.png",
+                "model.svg"):
+        assert os.path.exists(os.path.join(out_folder, rel)), rel
+
 
 def test_end_to_end_resume(synth_root):
     """Interrupting and rerunning must skip completed chunks (the .info
