@@ -80,6 +80,13 @@ void pkc_lattice_arcs(const PkcLattice* lat, int32_t* from, int32_t* to,
                       float* acoustic_costs);
 // Best path at a (possibly different) acoustic scale factor applied to
 // the stored acoustic costs: total = graph + scale * acoustic.
+// Best path + CTM rows with per-token posterior confidences from the
+// lattice-wide log-sum forward/backward (the lattice-to-ctm-conf role).
+// Returns token count, or -1 when no final state is reachable.
+int64_t pkc_lattice_ctm_conf(const PkcLattice* lat, double ac_scale,
+                             int32_t* out_labels, int32_t* out_frames,
+                             float* out_conf, int64_t max_out);
+
 int64_t pkc_lattice_best_path(const PkcLattice* lat, double ac_scale,
                               int32_t* out_labels, int64_t max_out);
 

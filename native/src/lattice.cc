@@ -283,6 +283,142 @@ void pkc_lattice_arcs(const PkcLattice* lat, int32_t* from, int32_t* to,
   }
 }
 
+namespace {
+
+// -log(exp(-a) + exp(-b)) in the neglog semiring
+double NegLogAdd(double a, double b) {
+  if (a == kInf) return b;
+  if (b == kInf) return a;
+  double m = std::min(a, b);
+  return m - std::log1p(std::exp(-(std::max(a, b) - m)));
+}
+
+// Kahn topological order over lattice nodes; falls back to creation
+// order if a cycle sneaks in (eps self-structures).
+std::vector<int32_t> TopoOrder(const PkcLattice* lat) {
+  const int64_t N = (int64_t)lat->nodes.size();
+  std::vector<int32_t> indeg(N, 0);
+  std::vector<std::vector<int32_t>> out(N);
+  for (size_t i = 0; i < lat->arcs.size(); ++i) {
+    indeg[lat->arcs[i].to]++;
+    out[lat->arcs[i].from].push_back((int32_t)i);
+  }
+  std::vector<int32_t> order;
+  order.reserve(N);
+  std::vector<int32_t> stack;
+  for (int64_t i = 0; i < N; ++i)
+    if (indeg[i] == 0) stack.push_back((int32_t)i);
+  while (!stack.empty()) {
+    int32_t n = stack.back();
+    stack.pop_back();
+    order.push_back(n);
+    for (int32_t ai : out[n]) {
+      if (--indeg[lat->arcs[ai].to] == 0)
+        stack.push_back(lat->arcs[ai].to);
+    }
+  }
+  if ((int64_t)order.size() != N) {   // cycle: creation order fallback
+    order.resize(N);
+    for (int64_t i = 0; i < N; ++i) order[i] = (int32_t)i;
+  }
+  return order;
+}
+
+}  // namespace
+
+int64_t pkc_lattice_ctm_conf(const PkcLattice* lat, double ac_scale,
+                             int32_t* out_labels, int32_t* out_frames,
+                             float* out_conf, int64_t max_out) {
+  // Best path (tropical) + per-token posterior confidence from the
+  // log-sum forward/backward over the whole lattice — the
+  // lattice-to-ctm-conf role (ref: local/score.sh:55-60).
+  const int64_t N = (int64_t)lat->nodes.size();
+  std::vector<int32_t> order = TopoOrder(lat);
+  std::vector<int32_t> pos(N);
+  for (int64_t i = 0; i < N; ++i) pos[order[i]] = (int32_t)i;
+  // arcs sorted by topological position of their source
+  std::vector<int32_t> arc_order(lat->arcs.size());
+  for (size_t i = 0; i < lat->arcs.size(); ++i) arc_order[i] = (int32_t)i;
+  std::sort(arc_order.begin(), arc_order.end(),
+            [&](int32_t x, int32_t y) {
+              return pos[lat->arcs[x].from] < pos[lat->arcs[y].from];
+            });
+
+  auto arc_cost = [&](const LatArc& a) {
+    return (double)a.graph_cost + ac_scale * (double)a.acoustic_cost;
+  };
+
+  std::vector<double> alpha(N, kInf), beta(N, kInf);
+  alpha[lat->start_node] = 0.0;
+  for (int32_t ai : arc_order) {
+    const LatArc& a = lat->arcs[ai];
+    alpha[a.to] = NegLogAdd(alpha[a.to], alpha[a.from] + arc_cost(a));
+  }
+  for (int64_t i = 0; i < N; ++i)
+    if (lat->nodes[i].final_cost != kInf) beta[i] = lat->nodes[i].final_cost;
+  for (int64_t k = (int64_t)arc_order.size() - 1; k >= 0; --k) {
+    const LatArc& a = lat->arcs[arc_order[k]];
+    beta[a.from] = NegLogAdd(beta[a.from], beta[a.to] + arc_cost(a));
+  }
+  double logZ = kInf;
+  for (int64_t i = 0; i < N; ++i)
+    if (lat->nodes[i].final_cost != kInf)
+      logZ = NegLogAdd(logZ, alpha[i] + lat->nodes[i].final_cost);
+  if (logZ == kInf) return -1;
+
+  // tropical best path with arc backpointers
+  std::vector<double> best(N, kInf);
+  std::vector<int64_t> best_arc(N, -1);
+  best[lat->start_node] = 0.0;
+  for (int pass = 0; pass < 16; ++pass) {
+    bool changed = false;
+    for (size_t i = 0; i < lat->arcs.size(); ++i) {
+      const LatArc& a = lat->arcs[i];
+      double c = best[a.from] + arc_cost(a);
+      if (c < best[a.to]) {
+        best[a.to] = c;
+        best_arc[a.to] = (int64_t)i;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+  double best_total = kInf;
+  int32_t best_node = -1;
+  for (int64_t i = 0; i < N; ++i) {
+    if (lat->nodes[i].final_cost == kInf) continue;
+    double c = best[i] + lat->nodes[i].final_cost;
+    if (c < best_total) {
+      best_total = c;
+      best_node = (int32_t)i;
+    }
+  }
+  if (best_node < 0) return -1;
+  std::vector<int32_t> rev_lab, rev_frm;
+  std::vector<float> rev_conf;
+  int32_t node = best_node;
+  while (node != lat->start_node && best_arc[node] >= 0) {
+    const LatArc& a = lat->arcs[best_arc[node]];
+    if (a.olabel != 0) {
+      rev_lab.push_back(a.olabel);
+      rev_frm.push_back(lat->nodes[a.to].frame);
+      // posterior of all paths through this arc
+      double post = std::exp(logZ - (alpha[a.from] + arc_cost(a) +
+                                     beta[a.to]));
+      rev_conf.push_back((float)std::min(post, 1.0));
+    }
+    node = a.from;
+  }
+  int64_t n = (int64_t)rev_lab.size();
+  if (n > max_out) n = max_out;
+  for (int64_t i = 0; i < n; ++i) {
+    out_labels[i] = rev_lab[rev_lab.size() - 1 - i];
+    out_frames[i] = rev_frm[rev_frm.size() - 1 - i];
+    out_conf[i] = rev_conf[rev_conf.size() - 1 - i];
+  }
+  return n;
+}
+
 int64_t pkc_lattice_best_path(const PkcLattice* lat, double ac_scale,
                               int32_t* out_labels, int64_t max_out) {
   const int64_t N = (int64_t)lat->nodes.size();

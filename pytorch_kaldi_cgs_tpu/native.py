@@ -97,6 +97,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pkc_lattice_best_path.restype = ctypes.c_int64
     lib.pkc_lattice_best_path.argtypes = [ctypes.c_void_p, ctypes.c_double,
                                           ctypes.c_void_p, ctypes.c_int64]
+    lib.pkc_lattice_ctm_conf.restype = ctypes.c_int64
+    lib.pkc_lattice_ctm_conf.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                         ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -340,6 +344,33 @@ class Lattice:
         """Best path per acoustic-scale factor — the lattice equivalent
         of the reference's lmwt 1..10 scoring loop, without re-decoding."""
         return {s: self.best_path(s) for s in scales}
+
+    def ctm(self, ac_scale: float = 1.0, frame_shift: float = 0.01
+            ) -> List[tuple]:
+        """Best-path tokens with time + posterior confidence:
+        (label, start_s, duration_s, confidence) rows — the
+        lattice-to-ctm-conf role (ref: local/score.sh:55-60).
+        Confidence = posterior mass of all lattice paths through the
+        token's arc (log-sum forward/backward at this scale)."""
+        cap = self.num_arcs + 16
+        labs = np.zeros(cap, np.int32)
+        frames = np.zeros(cap, np.int32)
+        conf = np.zeros(cap, np.float32)
+        n = self._lib.pkc_lattice_ctm_conf(
+            self._ptr, ac_scale, labs.ctypes.data_as(ctypes.c_void_p),
+            frames.ctypes.data_as(ctypes.c_void_p),
+            conf.ctypes.data_as(ctypes.c_void_p), cap)
+        if n < 0:
+            raise RuntimeError("no final path in lattice")
+        T = int(self.frames.max()) + 1 if self.num_nodes else 0
+        rows = []
+        for i in range(n):
+            start = int(frames[i])
+            end = int(frames[i + 1]) if i + 1 < n else T
+            rows.append((int(labs[i]), start * frame_shift,
+                         max(end - start, 1) * frame_shift,
+                         float(conf[i])))
+        return rows
 
     def write_text(self, path: str) -> str:
         """Kaldi-style text lattice: 'src dst olabel ilabel gc,ac' lines

@@ -170,3 +170,60 @@ def test_batched_viterbi_ragged_matches_numpy():
     got = batched_viterbi_decode(ll, np.array(lens), hmm, acwt=1.0)
     for b, L in enumerate(lens):
         assert got[b] == viterbi_decode(ll[b, :L], hmm, acwt=1.0)
+
+
+def test_lattice_ctm_confidence_hand_computed(tmp_path):
+    """lattice-to-ctm-conf equivalent: two competing tokens with known
+    acoustic scores -> confidence must equal the exact softmax posterior
+    (ref role: local/score.sh:55-60 lattice-to-ctm-conf)."""
+    import numpy as np
+    from pytorch_kaldi_cgs_tpu import native as N
+    if not N.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    fst_txt = str(tmp_path / "two.fst.txt")
+    with open(fst_txt, "w") as f:
+        # state 0 start; two competing arcs (pdf 0 vs pdf 1) to final 1
+        f.write("0 1 1 1 0.0\n0 1 2 2 0.0\n1 0.0\n")
+    fst = N.NativeFst(fst_txt)
+    ll = np.array([[2.0, 1.0]], np.float32)     # frame 0: pdf0 wins
+    lat = fst.decode_lattice(ll, beam=100.0, lat_beam=100.0, acwt=1.0)
+    rows = lat.ctm(ac_scale=1.0)
+    assert len(rows) == 1
+    label, start_s, dur_s, conf = rows[0]
+    assert label == 1
+    assert start_s == 0.0 and dur_s > 0
+    expected = np.exp(2.0) / (np.exp(2.0) + np.exp(1.0))   # 0.73106
+    np.testing.assert_allclose(conf, expected, rtol=1e-5)
+    # flipping the evidence flips the winner and its confidence
+    ll2 = np.array([[1.0, 3.0]], np.float32)
+    rows2 = fst.decode_lattice(ll2, beam=100.0, lat_beam=100.0,
+                               acwt=1.0).ctm(ac_scale=1.0)
+    assert rows2[0][0] == 2
+    np.testing.assert_allclose(
+        rows2[0][3], np.exp(3.0) / (np.exp(3.0) + np.exp(1.0)), rtol=1e-5)
+
+
+def test_lattice_ctm_confidence_multi_token(tmp_path):
+    """Confidences stay in [0,1] and the unambiguous token is ~1.0."""
+    import numpy as np
+    from pytorch_kaldi_cgs_tpu import native as N
+    if not N.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    fst_txt = str(tmp_path / "chain.fst.txt")
+    with open(fst_txt, "w") as f:
+        # frame 1 ambiguous (pdf1 vs pdf2), frame 0 forced (pdf 0)
+        f.write("0 1 1 7 0.0\n"
+                "1 2 2 8 0.0\n1 2 3 9 0.0\n"
+                "2 0.0\n")
+    fst = N.NativeFst(fst_txt)
+    ll = np.array([[5.0, -10.0, -10.0],
+                   [-10.0, 0.5, 0.4]], np.float32)
+    rows = fst.decode_lattice(ll, beam=100.0, lat_beam=100.0,
+                              acwt=1.0).ctm(ac_scale=1.0)
+    assert [r[0] for r in rows] == [7, 8]
+    assert rows[0][3] > 0.999                      # forced token
+    exp = np.exp(0.5) / (np.exp(0.5) + np.exp(0.4))
+    np.testing.assert_allclose(rows[1][3], exp, rtol=1e-4)
+    assert all(0.0 <= r[3] <= 1.0 for r in rows)
