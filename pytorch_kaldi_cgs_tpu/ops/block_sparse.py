@@ -706,15 +706,15 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
         w_dma(0, 0).start()
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def body(j, _):
-            slot = jax.lax.rem(j, 2)
-            nxt = jax.lax.rem(j + 1, 2)
-
-            @pl.when(j + 1 < Nb)
-            def _():
-                gy_dma(nxt, j + 1).start()
-                w_dma(nxt, j + 1).start()
-
+        # static unroll over out-blocks (Nb is a layout constant): all
+        # DMA slots/indices become compile-time values — the fori_loop
+        # version's traced double-buffer indexing stalled the Mosaic
+        # compiler for minutes
+        for j in range(Nb):
+            slot = j % 2
+            if j + 1 < Nb:
+                gy_dma(1 - slot, j + 1).start()
+                w_dma(1 - slot, j + 1).start()
             gy_dma(slot, j).wait()
             w_dma(slot, j).wait()
             part = jax.lax.dot_general(
@@ -723,9 +723,6 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
             for k in range(R):
                 ci = col_idx_ref[j * R + k]
                 acc_ref[:, pl.ds(ci * bs, bs)] += part[:, k * bs:(k + 1) * bs]
-            return 0
-
-        jax.lax.fori_loop(0, Nb, body, 0)
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
     def call(gy_flat, w3, dtype):

@@ -144,6 +144,8 @@ def find_top_k_by_kmeans(weight: np.ndarray, pattern_num: int,
     pattern_num = min(pattern_num, _comb_num(total, pattern_nnz))
     codes = _block_codes(np.abs(np.asarray(weight, dtype=np.float64)),
                          pattern_shape, stride, pattern_nnz)
+    # can't have more clusters than blocks (tiny layers)
+    pattern_num = min(pattern_num, len(codes))
     clf = KMeans(n_clusters=pattern_num, n_init=10, random_state=seed)
     clf.fit(codes)
     patterns = np.zeros((pattern_num, total), dtype=np.float32)
