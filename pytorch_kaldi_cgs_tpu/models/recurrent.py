@@ -237,6 +237,26 @@ class _RecurrentBase(AcousticModel):
                 outs[k] = flat.reshape(T, B, H)
         return outs
 
+    def _use_fused_scan(self, use_ln, act_name, B, H) -> bool:
+        """Fused Pallas recurrence eligibility (LSTM only): supported
+        activation, no in-scan layer norm, VMEM budget, and either a
+        real TPU backend or interpret-capable tests forcing it via the
+        <prefix>_fused_scan option."""
+        if self.prefix != "lstm":
+            return False
+        if not opt_bool(self.options, self.prefix + "_fused_scan", True):
+            return False
+        if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
+            return False
+        from ..ops.fused_lstm import fits_vmem
+        if not fits_vmem(B, H, train=True):
+            return False
+        if jax.default_backend() in ("tpu", "axon"):
+            return True
+        # CPU: only when explicitly requested (interpret mode is slow)
+        return str(self.options.get("lstm_fused_scan", "")).strip() in (
+            "True", "true", "1")
+
     def _maybe_bidir_in(self, x):
         if self.bidir:
             return jnp.concatenate([x, _flip_time(x)], axis=1)
@@ -274,11 +294,13 @@ class _RecurrentBase(AcousticModel):
             U = self._stacked(params, masks, self.gates_h, i)
             ln_p = params.get("ln%d" % i)
             h = self._run_scan(proj, U, drop_mask, self._acts[i], ln_p,
-                               self.use_laynorm[i], B, H)
+                               self.use_laynorm[i], B, H,
+                               act_name=self.act_names[i])
             x = self._maybe_bidir_out(h, orig_B)
         return x, new_state
 
-    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
+    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
+                  act_name=""):
         raise NotImplementedError
 
     def _rmm(self, h, U):
@@ -346,9 +368,19 @@ class LSTM(_RecurrentBase):
     gates_h = ["ufh", "uih", "uoh", "uch"]
     bn_gates = ["wfx", "wix", "wox", "wcx"]
 
-    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
+    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
+                  act_name=""):
         wfx, wix, wox, wcx = proj
         gates_t = jnp.concatenate([wfx, wix, wox, wcx], axis=-1)  # (T,B,4H)
+        if self._use_fused_scan(use_ln, act_name, B, H):
+            from ..ops.fused_lstm import lstm_scan_fused
+            qb = (self.spec.inp_quant[0]
+                  if (self.spec.quant and self.spec.quant_inp) else 0)
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return lstm_scan_fused(gates_t.astype(jnp.float32),
+                                   U.astype(jnp.float32), drop_mask,
+                                   act=act_name, quant_bits=qb,
+                                   interpret=interpret)
         h0 = jnp.zeros((B, H), gates_t.dtype)
 
         def step(carry, g_t):
@@ -375,7 +407,8 @@ class GRU(_RecurrentBase):
     gates_h = ["uh", "uz", "ur"]
     bn_gates = ["wh", "wz", "wr"]
 
-    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
+    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
+                  act_name=""):
         wh, wz, wr = proj
         gates_t = jnp.concatenate([wh, wz, wr], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -404,7 +437,8 @@ class liGRU(_RecurrentBase):
     gates_h = ["uh", "uz"]
     bn_gates = ["wh", "wz"]
 
-    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
+    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
+                  act_name=""):
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -431,7 +465,8 @@ class minimalGRU(_RecurrentBase):
     gates_h = ["uh", "uz"]
     bn_gates = ["wh", "wz"]
 
-    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
+    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
+                  act_name=""):
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -459,7 +494,8 @@ class RNN(_RecurrentBase):
     gates_h = ["uh"]
     bn_gates = ["wh"]
 
-    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H):
+    def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
+                  act_name=""):
         wh = proj[0]
         h0 = jnp.zeros((B, H), wh.dtype)
 

@@ -625,15 +625,15 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
         # auto-fetching the whole (TILE_M, K) row per grid step was the
         # measured bandwidth floor
         for k in range(R):
-            ci = col_idx_ref[j * R + k]
+            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
             pltpu.make_async_copy(
-                x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci, bs)],
                 xg_ref.at[:, k * bs:(k + 1) * bs],
                 sems.at[k]).start()
         for k in range(R):
-            ci = col_idx_ref[j * R + k]
+            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
             pltpu.make_async_copy(
-                x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci, bs)],
                 xg_ref.at[:, k * bs:(k + 1) * bs],
                 sems.at[k]).wait()
         # one deep dot per gate, each writing its output plane directly
@@ -665,6 +665,8 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (G, M // TILE_M, TILE_M, layout.N), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * layout.nnz * bs * bs * G,
@@ -721,8 +723,8 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 gy_buf[slot], w_buf[slot], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (TILE, R*bs)
             for k in range(R):
-                ci = col_idx_ref[j * R + k]
-                acc_ref[:, pl.ds(ci * bs, bs)] += part[:, k * bs:(k + 1) * bs]
+                ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
+                acc_ref[:, pl.ds(ci, bs)] += part[:, k * bs:(k + 1) * bs]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
     def call(gy_flat, w3, dtype):
@@ -747,6 +749,8 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct((M, layout.K), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * layout.nnz * bs * bs * G,
@@ -772,14 +776,14 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
         m = pl.program_id(1)
         n_m = pl.num_programs(1)
         for k in range(R):
-            ci = col_idx_ref[j * R + k]
+            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
             pltpu.make_async_copy(
-                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci, bs)],
                 xg_ref.at[:, k * bs:(k + 1) * bs], sems.at[k]).start()
         for k in range(R):
-            ci = col_idx_ref[j * R + k]
+            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
             pltpu.make_async_copy(
-                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci * bs, bs)],
+                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci, bs)],
                 xg_ref.at[:, k * bs:(k + 1) * bs], sems.at[k]).wait()
 
         @pl.when(m == 0)
@@ -814,6 +818,8 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                                 pltpu.SemaphoreType.DMA((R,))],
             ),
             out_shape=jax.ShapeDtypeStruct((Nb, G * bs, R * bs), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * layout.nnz * bs * bs * G,

@@ -1,0 +1,96 @@
+"""Fused Pallas LSTM recurrence (ops/fused_lstm.py): exact forward and
+near-exact gradients vs the lax.scan path, including per-step input
+quantization and per-sequence dropout."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_kaldi_cgs_tpu.ops.fused_lstm import lstm_scan_fused
+from pytorch_kaldi_cgs_tpu.models.recurrent import LSTM
+
+
+def _scan_ref(g, U, drop, act=jnp.tanh):
+    T, B, G4 = g.shape
+    H = G4 // 4
+    h0 = jnp.zeros((B, H))
+
+    def step(carry, g_t):
+        h, c = carry
+        u = jnp.einsum("bh,gh->bg", h, U)
+        gf, gi, go, gc = jnp.split(g_t + u, 4, axis=-1)
+        c = jax.nn.sigmoid(gi) * act(gc) * drop + jax.nn.sigmoid(gf) * c
+        h = jax.nn.sigmoid(go) * act(c)
+        return (h, c), h
+
+    return jax.lax.scan(step, (h0, h0), g)[1]
+
+
+def test_fused_forward_and_grads_match_scan():
+    T, B, H = 12, 4, 16
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
+    U = jnp.asarray(rng.randn(4 * H, H) * 0.2, jnp.float32)
+    drop = jnp.asarray((rng.rand(B, H) > 0.2), jnp.float32)
+    hs_ref = _scan_ref(g, U, drop)
+    hs = lstm_scan_fused(g, U, drop, interpret=True)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-6)
+
+    tgt = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+    gr_ref = jax.grad(lambda g, U: jnp.sum((_scan_ref(g, U, drop) - tgt) ** 2),
+                      argnums=(0, 1))(g, U)
+    gr = jax.grad(lambda g, U: jnp.sum(
+        (lstm_scan_fused(g, U, drop, interpret=True) - tgt) ** 2),
+        argnums=(0, 1))(g, U)
+    np.testing.assert_allclose(np.asarray(gr[0]), np.asarray(gr_ref[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gr_ref[1]),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("act", ["relu", "htanh"])
+def test_fused_other_activations(act):
+    from pytorch_kaldi_cgs_tpu.models.layers import act_fun
+    T, B, H = 8, 4, 8
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
+    U = jnp.asarray(rng.randn(4 * H, H) * 0.2, jnp.float32)
+    drop = jnp.ones((B, H), jnp.float32)
+    hs_ref = _scan_ref(g, U, drop, act=act_fun(act))
+    hs = lstm_scan_fused(g, U, drop, act=act, interpret=True)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-6)
+
+
+def test_model_fused_path_matches_scan_path():
+    """LSTM.apply with lstm_fused_scan on vs off: identical forward,
+    ~1e-5 grads — with 8w/16a quantization, dropout and batch norm."""
+    opts = {"lstm_lay": "32,32", "lstm_drop": "0.1,0.1",
+            "lstm_use_batchnorm": "True,True",
+            "lstm_use_laynorm": "False,False",
+            "lstm_use_laynorm_inp": "False", "lstm_use_batchnorm_inp": "False",
+            "lstm_act": "tanh,tanh", "lstm_orthinit": "True",
+            "lstm_bidir": "False", "to_do": "train", "lstm_hcgs": "False",
+            "hcgsx_block": "8,2", "hcgsh_block": "8,2",
+            "hcgsx_sparse": "25,50", "hcgsh_sparse": "25,50",
+            "lstm_quant": "True", "param_quant": "8,8",
+            "lstm_quant_inp": "True", "inp_quant": "16",
+            "lstm_prune": "False", "lstm_prune_perc": "0",
+            "skip_regularization": "True", "guided_hcgs": "False",
+            "apply_guided_hcgs": "False", "arch_name": "t",
+            "scan_unroll": "1"}
+    x = np.random.RandomState(0).randn(20, 4, 12).astype(np.float32)
+    m_plain = LSTM(dict(opts, lstm_fused_scan="False"), 12)
+    m_fused = LSTM(dict(opts, lstm_fused_scan="True"), 12)
+    v = m_plain.init(0)
+    key = jax.random.PRNGKey(5)
+    y1, _ = m_plain.apply(v, x, train=True, rng=key)
+    y2, _ = m_fused.apply(v, x, train=True, rng=key)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+
+    def loss(v, m):
+        y, _ = m.apply(v, x, train=True, rng=key)
+        return jnp.sum(y * y)
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda v: loss(v, m_plain))(v))
+    g2 = jax.tree_util.tree_leaves(jax.grad(lambda v: loss(v, m_fused))(v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
