@@ -55,6 +55,44 @@ def bench_point(K, N, M, drop_pct, fwd_bwd: bool, dtype=jnp.float32):
     # unused columns of the XLA matmul while the opaque Pallas kernel
     # still does full work — measured 0.034 ms "dense" (= 5000 TFLOP/s,
     # 31x over f32 peak) before this fix.
+    if fwd_bwd in ("dx", "dw"):
+        # isolate one backward kernel vs its dense-matmul equivalent
+        gy = jax.random.normal(jax.random.fold_in(key, 99),
+                               (M, layout.Nb * G * BSIZE), jnp.float32)
+        bound = max(8, (1024 * 1024 // layout.K) // 8 * 8)
+        tile_bwd = 8
+        t = 8
+        while t <= min(M, bound):
+            if M % t == 0:
+                tile_bwd = t
+            t += 8
+        _, dxk, dwk = BS._build_v3_ops(layout, G, tile_bwd, False)
+        if fwd_bwd == "dx":
+            def dense_body(c):
+                y = jnp.dot(c, w_cat.T, preferred_element_type=jnp.float32)
+                return c + jnp.sum(y, axis=1, keepdims=True) * 1e-9
+
+            def v3_body(c):
+                y = dxk(c, w3, jnp.float32)          # (M, K)
+                pad = jnp.zeros((M, c.shape[1] - K), jnp.float32)
+                return c + jnp.concatenate(
+                    [jnp.sum(y, axis=1, keepdims=True) * 1e-9, pad],
+                    axis=1) * 0 + jnp.sum(y) * 1e-12
+        else:
+            def dense_body(c):
+                dw = jnp.dot(c.T, x, preferred_element_type=jnp.float32)
+                return c + jnp.sum(dw) * jnp.asarray(1e-12, jnp.float32)
+
+            def v3_body(c):
+                dw = dwk(c, x, jnp.float32)
+                return c + jnp.sum(dw) * jnp.asarray(1e-12, jnp.float32)
+        for name, f in (("dense", dense_body), ("v3", v3_body)):
+            try:
+                results[name] = device_loop_time(f, gy, n_lo=5, n_hi=35)
+            except Exception as e:
+                results[name] = None
+                print("  %s FAILED: %s" % (name, str(e)[:200]))
+        return results
     if not fwd_bwd:
         def dense_body(c):
             y = dense_fwd(c)                       # (M, 4N)
@@ -129,7 +167,8 @@ def main():
         W, drop, mode = int(parts[0]), float(parts[1]), parts[2]
         dtype = jnp.bfloat16 if (len(parts) > 3 and parts[3] == "bf16") \
             else jnp.float32
-        r = bench_point(W, W, M, drop, mode == "fb", dtype=dtype)
+        fb = mode if mode in ("dx", "dw") else (mode == "fb")
+        r = bench_point(W, W, M, drop, fb, dtype=dtype)
         d, v = r.get("dense"), r.get("v3")
         tag = "%4d drop%5.1f%% %s %s" % (W, drop, mode,
                                          jnp.dtype(dtype).name)

@@ -775,23 +775,34 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
         j = pl.program_id(0)
         m = pl.program_id(1)
         n_m = pl.num_programs(1)
-        for k in range(R):
-            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
-            pltpu.make_async_copy(
-                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci, bs)],
-                xg_ref.at[:, k * bs:(k + 1) * bs], sems.at[k]).start()
-        for k in range(R):
-            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
-            pltpu.make_async_copy(
-                x_ref.at[pl.ds(m * TILE_M, TILE_M), pl.ds(ci, bs)],
-                xg_ref.at[:, k * bs:(k + 1) * bs], sems.at[k]).wait()
 
+        def dma(slot, mm, k):
+            ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(mm * TILE_M, TILE_M), pl.ds(ci, bs)],
+                xg_ref.at[slot, :, k * bs:(k + 1) * bs], sems.at[slot * R + k])
+
+        # double-buffered x gather: slot m%2 was started on the previous
+        # step; kick off m+1 before computing so the DMA hides under dot
         @pl.when(m == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            for k in range(R):
+                dma(0, m, k).start()
+
+        slot = jax.lax.rem(m, 2)
+        nxt = jax.lax.rem(m + 1, 2)
+
+        @pl.when(m + 1 < n_m)
+        def _():
+            for k in range(R):
+                dma(nxt, m + 1, k).start()
+
+        for k in range(R):
+            dma(slot, m, k).wait()
 
         acc_ref[...] += jax.lax.dot_general(
-            gy_ref[...], xg_ref[...], (((0,), (0,)), ((), ())),
+            gy_ref[...], xg_ref[slot], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         @pl.when(m == n_m - 1)
@@ -813,9 +824,9 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 ],
                 out_specs=pl.BlockSpec((1, G * bs, R * bs),
                                        lambda j, m, ci: (j, 0, 0)),
-                scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), x.dtype),
+                scratch_shapes=[pltpu.VMEM((2, TILE_M, R * bs), x.dtype),
                                 pltpu.VMEM((G * bs, R * bs), jnp.float32),
-                                pltpu.SemaphoreType.DMA((R,))],
+                                pltpu.SemaphoreType.DMA((2 * R,))],
             ),
             out_shape=jax.ShapeDtypeStruct((Nb, G * bs, R * bs), dtype),
             compiler_params=pltpu.CompilerParams(
@@ -853,12 +864,17 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
     G = n_mats
     bs, Nb = layout.bs, layout.Nb
     fwd, _, _ = _build_v3_ops(layout, G, tile_m, interpret)
-    # backward tile: the dx kernel keeps TWO (TILE, K) f32 row-blocks in
-    # VMEM (accumulator + output) — bound them to ~8MB total
-    tile_bwd = min(tile_m,
-                   max(8, (1024 * 1024 // layout.K) // 8 * 8))
-    while tile_bwd > 8 and M % tile_bwd:
-        tile_bwd //= 2
+    # backward tile: the dx kernel keeps a (TILE, K) f32 accumulator +
+    # output row-block in VMEM (2*TILE*K*4 <= ~8MB) + streaming buffers;
+    # bigger tiles amortize the per-j DMA/dot overhead (TILE 256
+    # measured DMA-latency-bound). Must divide M and stay 8-aligned.
+    bound = max(8, (1024 * 1024 // layout.K) // 8 * 8)
+    tile_bwd = M if M < 8 else 8
+    t = 8
+    while t <= min(M, bound):
+        if M % t == 0:
+            tile_bwd = t
+        t += 8
     _, dxk, dwk = _build_v3_ops(layout, G, tile_bwd, interpret)
 
     def _flatten_cotangent(g):

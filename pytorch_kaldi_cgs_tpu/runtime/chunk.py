@@ -265,7 +265,7 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
            next_cfg_file: Optional[str] = None,
            variables: Optional[Dict[str, Any]] = None,
            opt_states: Optional[Dict[str, Any]] = None,
-           if_prune: bool = False
+           if_prune: bool = False, checkpointer=None
            ) -> Tuple[Optional[ChunkData], Dict[str, Any]]:
     """Process one chunk; returns (next_chunk_data, info_dict).
 
@@ -459,18 +459,30 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
         variables = graph.post_chunk_refresh(variables, if_prune, seed=seed)
         for arch in graph.net_order:
             out_file = info_file.replace(".info", "_%s.pkl" % graph.arch_secs[arch])
-            save_checkpoint(out_file, variables[arch], opt_states[arch])
+            if checkpointer is not None:
+                checkpointer.save(out_file, variables[arch], opt_states[arch])
+            else:
+                save_checkpoint(out_file, variables[arch], opt_states[arch])
 
-    with open(info_file, "w") as f:
-        f.write("[results]\n")
-        if to_do != "forward":
-            f.write("loss=%f\n" % loss_tot)
-            f.write("err=%f\n" % err_tot)
-        f.write("elapsed_time_chunk=%f\n" % elapsed)
-        ts = timer.summary()
-        if ts.get("steps"):
-            f.write("step_mean_s=%f\nstep_p95_s=%f\n"
-                    % (ts["mean_s"], ts["p95_s"]))
+    info_text = "[results]\n"
+    if to_do != "forward":
+        info_text += "loss=%f\nerr=%f\n" % (loss_tot, err_tot)
+    info_text += "elapsed_time_chunk=%f\n" % elapsed
+    ts = timer.summary()
+    if ts.get("steps"):
+        info_text += "step_mean_s=%f\nstep_p95_s=%f\n" % (
+            ts["mean_s"], ts["p95_s"])
+
+    def _write_info(path=info_file, text=info_text):
+        with open(path, "w") as f:
+            f.write(text)
+
+    if checkpointer is not None and to_do == "train":
+        # the completion marker trails the checkpoints on the writer
+        # thread: a crash can never leave .info without loadable .pkls
+        checkpointer.run(_write_info)
+    else:
+        _write_info()
 
     next_chunk = None
     if prefetch_thread is not None:

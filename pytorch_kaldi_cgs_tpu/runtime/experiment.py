@@ -116,6 +116,8 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
     log("run_exp start: %s" % cfg_file)
 
     # ---------------- training loop ----------------
+    from .checkpoint import AsyncCheckpointer
+    ckptr = AsyncCheckpointer()
     chunk_data = None
     variables = None
     opt_states = None
@@ -147,16 +149,19 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                     if_prune = (ck + 1) == n_ck and (ep + 1) >= apply_prune_ep
                     chunk_data, info = run_nn(chunk_data, cfg_chunk, next_cfg(),
                                               variables, opt_states,
-                                              if_prune=if_prune)
+                                              if_prune=if_prune,
+                                              checkpointer=ckptr)
                     variables = info["variables"]
                     opt_states = info["opt_states"]
                 else:
                     chunk_data, variables, opt_states = None, None, None
                 op_counter += 1
-                # delete the previous chunk's checkpoints (ref: run_exp.py:230-234)
-                for s, path in model_files_past.items():
-                    if os.path.exists(path):
-                        os.remove(path)
+                # delete the previous chunk's checkpoints, ordered BEHIND
+                # any pending writes (ref: run_exp.py:230-234)
+                stale = [p for p in model_files_past.values()]
+                ckptr.run(lambda paths=stale: [os.remove(p) for p in paths
+                                               if os.path.exists(p)])
+            ckptr.wait()   # .info markers must be on disk before the glob
             infos = sorted(glob.glob(os.path.join(
                 out_folder, "exp_files",
                 "train_%s_ep%s*.info" % (tr_data, format(ep, n_ep_fmt)))))
@@ -214,6 +219,7 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
         valid_perf_prev = valid_perf
 
     # final checkpoints for production (ref: run_exp.py:334-338)
+    ckptr.close()
     for s in arch_secs:
         final = os.path.join(out_folder, "exp_files", "final_%s.pkl" % s)
         if model_files.get(s) and os.path.exists(model_files[s]) and \

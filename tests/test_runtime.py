@@ -325,3 +325,60 @@ def test_run_test_cli_pattern_prune(synth_root):
         w.shape[0] // 4, 4, w.shape[1] // 4, 4).transpose(0, 2, 1, 3)
     counts = blocks.reshape(-1, 16).sum(1)
     assert (counts <= 8).all() and counts.max() == 8
+
+
+def test_checkpoint_atomicity_under_crash(tmp_path, monkeypatch):
+    """A crash mid-save must never leave a truncated checkpoint under
+    the final name (fault injection into the pickle)."""
+    import pickle as _pickle
+
+    from pytorch_kaldi_cgs_tpu.runtime import checkpoint as C
+
+    path = str(tmp_path / "net.pkl")
+    C.save_checkpoint(path, {"params": {"w": np.ones(3)}})
+    good = open(path, "rb").read()
+
+    calls = {"n": 0}
+    orig = _pickle.dump
+
+    def failing_dump(obj, f, protocol=None):
+        f.write(b"PARTIAL")
+        raise IOError("simulated crash mid-write")
+
+    monkeypatch.setattr(_pickle, "dump", failing_dump)
+    with pytest.raises(IOError):
+        C.save_checkpoint(path, {"params": {"w": np.zeros(3)}})
+    monkeypatch.setattr(_pickle, "dump", orig)
+    # the old checkpoint is intact; no temp litter under the final name
+    assert open(path, "rb").read() == good
+    ck = C.load_checkpoint(path)
+    np.testing.assert_array_equal(ck["model_par"]["params"]["w"], np.ones(3))
+    assert not [p for p in os.listdir(str(tmp_path)) if p.endswith(".tmp")]
+
+
+def test_async_checkpointer_orders_marker_after_saves(tmp_path):
+    """The .info-style completion marker queued via run() lands only
+    after earlier saves are durable; worker errors surface on wait()."""
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import (AsyncCheckpointer,
+                                                          load_checkpoint)
+
+    ck = AsyncCheckpointer()
+    pkl = str(tmp_path / "a.pkl")
+    marker = str(tmp_path / "a.info")
+    ck.save(pkl, {"params": {"w": np.arange(4.0)}})
+
+    def write_marker():
+        assert os.path.exists(pkl), "marker ran before its checkpoint!"
+        open(marker, "w").write("[results]\n")
+
+    ck.run(write_marker)
+    ck.wait()
+    assert os.path.exists(marker)
+    np.testing.assert_array_equal(
+        load_checkpoint(pkl)["model_par"]["params"]["w"], np.arange(4.0))
+
+    # worker failures are not silent
+    ck.save(str(tmp_path / "nodir" / "x.pkl"), {"params": {}})
+    with pytest.raises(FileNotFoundError):
+        ck.wait()
+    ck.close()
