@@ -41,7 +41,12 @@ class MLP(AcousticModel):
         self.N = len(self.dnn_lay)
         self.out_dim = self.dnn_lay[-1]
         self._acts = [act_fun(a) for a in self.dnn_act]
-        self.block_sparse = opt_bool(options, "mlp_block_sparse", False)
+        # "auto" (default): per-layer block-sparse when profitable
+        # (same rule as the recurrent family, see models/recurrent.py)
+        self.block_sparse_mode = str(
+            options.get("mlp_block_sparse", "auto") or "auto").strip()
+        self.block_sparse = self.block_sparse_mode.lower() not in (
+            "false", "0", "no")
         self._bs_layouts = {}
 
     def prepare_block_sparse(self, variables) -> None:
@@ -72,6 +77,9 @@ class MLP(AcousticModel):
                     "mlp layer %d: irregular HCGS layout (%s) — falling "
                     "back to the dense masked path", i, e)
                 continue
+            if self.block_sparse_mode.lower() == "auto" and not (
+                    layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
+                continue   # not profitable: stay dense-masked
             self._bs_layouts[i] = (layout,
                                    jnp.asarray(BS.pack_blocks(mask, layout)))
 
@@ -159,10 +167,11 @@ class MLP(AcousticModel):
         w = params["w%d" % i]
         if self.spec.quant:
             w = ste_quantize_weight(w, self.spec.layer_bits(i))
-        wp = BS.gather_blocks_multi([w], layout) * submask[:, :, :]
+        blocks = BS.gather_blocks_multi([w], layout) * submask[:, :, :]
+        w3, w3csc = BS.v3_from_blocks(blocks, layout, 1)
         interpret = jax.default_backend() not in ("tpu", "axon")
-        y = BS.block_sparse_matmul_multi(
-            xin, wp, layout, 1, tile_m=min(tile_m, xin.shape[0]),
+        y = BS.block_sparse_matmul_v3(
+            xin, w3, w3csc, layout, 1, tile_m=min(tile_m, xin.shape[0]),
             interpret=interpret)[0]
         return y[:M]
 

@@ -61,9 +61,16 @@ class _RecurrentBase(AcousticModel):
     def __init__(self, options: Mapping[str, Any], inp_dim: int):
         super().__init__(options, inp_dim)
         p = self.prefix
-        # opt-in block-sparse compute path: kept HCGS blocks only, via the
-        # fused multi-gate Pallas kernel (see ops.block_sparse)
-        self.block_sparse = opt_bool(options, p + "_block_sparse", False)
+        # block-sparse compute path (kept HCGS blocks only, fused
+        # multi-gate Pallas kernels): "auto" (default) turns it on per
+        # layer when the layout is profitable — measured wins start at
+        # K >= 1024 with >= 50% level-1 block drop (examples/
+        # bench_kernels.py, fwd 1.9x / dx 1.4x / dw 1.6x at 2048/75%);
+        # narrower or denser layers stay on the dense masked path.
+        self.block_sparse_mode = str(
+            options.get(p + "_block_sparse", "auto") or "auto").strip()
+        self.block_sparse = self.block_sparse_mode.lower() not in (
+            "false", "0", "no")
         self._bs_layouts: Dict[int, Any] = {}
         self.lay = [int(v) for v in options[p + "_lay"].split(",")]
         self.drop = [float(v) for v in options[p + "_drop"].split(",")]
@@ -177,6 +184,9 @@ class _RecurrentBase(AcousticModel):
                     "%s layer %d: irregular HCGS layout (%s) — falling "
                     "back to the dense masked path", self.prefix, i, e)
                 continue
+            if self.block_sparse_mode.lower() == "auto" and not (
+                    layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
+                continue   # not profitable: stay dense-masked
             sub = BS.pack_blocks_multi(
                 [np.asarray(masks["hcgs_%s%d" % (g, i)]) for g in self.gates_x],
                 layout)
@@ -201,11 +211,12 @@ class _RecurrentBase(AcousticModel):
         if self.spec.quant:
             bits = self.spec.layer_bits(i)
             ws = [ste_quantize_weight(w, bits) for w in ws]
-        wst = BS.gather_blocks_multi(ws, layout) * submask
+        blocks = BS.gather_blocks_multi(ws, layout) * submask
+        w3, w3csc = BS.v3_from_blocks(blocks, layout, G)
         interpret = jax.default_backend() not in ("tpu", "axon")
-        ys = BS.block_sparse_matmul_multi(xin, wst, layout, G,
-                                          tile_m=min(tile_m, xin.shape[0]),
-                                          interpret=interpret)
+        ys = BS.block_sparse_matmul_v3(xin, w3, w3csc, layout, G,
+                                       tile_m=min(tile_m, xin.shape[0]),
+                                       interpret=interpret)
         H = layout.N
         return [ys[g][:M].reshape(T, B, H) for g in range(G)]
 

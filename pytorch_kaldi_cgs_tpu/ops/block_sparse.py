@@ -599,11 +599,10 @@ def block_sparse_matmul(x: jnp.ndarray, w_packed: jnp.ndarray,
 # gradients flow back to the dense params through the gather.
 # ---------------------------------------------------------------------------
 
-def gather_v3(ws, layout: BlockLayout):
-    """Dense (N,K) weights -> (w3, w3csc) gathered layouts (traceable)."""
+def v3_from_blocks(blocks: jnp.ndarray, layout: BlockLayout, G: int):
+    """Packed (nnz, G*bs, bs) blocks -> (w3, w3csc) kernel layouts
+    (traceable: gradients flow back through the rearrangement)."""
     bs = layout.bs
-    G = len(ws)
-    blocks = gather_blocks_multi(ws, layout)               # (nnz, G*bs, bs)
     pad = jnp.zeros((1,) + blocks.shape[1:], blocks.dtype)
     blocks_pad = jnp.concatenate([blocks, pad], axis=0)
     w3 = blocks.reshape(layout.Nb, layout.R, G * bs, bs)
@@ -611,6 +610,12 @@ def gather_v3(ws, layout: BlockLayout):
     w3csc = blocks_pad[jnp.asarray(layout.t_perm)]
     w3csc = w3csc.reshape(layout.Kb, layout.C * G * bs, bs)
     return w3, w3csc
+
+
+def gather_v3(ws, layout: BlockLayout):
+    """Dense (N,K) weights -> (w3, w3csc) gathered layouts (traceable)."""
+    blocks = gather_blocks_multi(ws, layout)               # (nnz, G*bs, bs)
+    return v3_from_blocks(blocks, layout, len(ws))
 
 
 def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
