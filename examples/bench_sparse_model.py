@@ -47,6 +47,8 @@ def build_mlp(hidden, drop_l1, block_sparse, N=4096, feat=2048, layers=4):
     mlp = MLP(opts, feat)
     variables = mlp.init(0)
     mlp.prepare_block_sparse(variables)
+    if hasattr(mlp, "pack_variables"):
+        variables = mlp.pack_variables(variables)
     tx = make_optimizer({"arch_opt": "sgd", "arch_lr": "0.01",
                          "opt_momentum": "0", "opt_weight_decay": "0",
                          "opt_dampening": "0", "opt_nesterov": "False"})
@@ -97,6 +99,8 @@ def build(hidden, drop_l1, block_sparse, T=96, B=32, feat=512):
     lstm = LSTM(opts, feat)
     variables = lstm.init(0)
     lstm.prepare_block_sparse(variables)
+    if hasattr(lstm, "pack_variables"):
+        variables = lstm.pack_variables(variables)
     tx = make_optimizer({"arch_opt": "rmsprop", "arch_lr": "0.0016",
                          "opt_momentum": "0", "opt_alpha": "0.95",
                          "opt_eps": "1e-8", "opt_centered": "False",
@@ -132,7 +136,7 @@ def time_step(step, args):
 
     return chained_step_time(
         step, args + (key0,), chain=chain, readback=lambda out: out[2],
-        n_lo=2, n_hi=12, repeats=2)
+        n_lo=2, n_hi=12, repeats=4)
 
 
 def main():
@@ -142,19 +146,26 @@ def main():
     print("chip:", jax.devices()[0].device_kind, flush=True)
     out = {}
     if model == "mlp_packed":
-        step, args, frames = build_mlp(hidden, drop, False)
-        dt_dense = time_step(step, args)
-        print("dense-masked MLP      : %7.3f ms/step" % (dt_dense * 1e3),
-              flush=True)
-        step, args, frames = build_mlp_packed(hidden, drop)
-        def chain(cur, out, i):
+        # three variants in one session (comparable under contention):
+        # dense-masked, production packed path, bare packed probe
+        step_d, args_d, _ = build_mlp(hidden, drop, False)
+        step_p, args_p, _ = build_mlp(hidden, drop, True)
+        step_b, args_b, _ = build_mlp_packed(hidden, drop)
+
+        def chain_b(cur, out, i):
             return (out[0], out[1], cur[2])
-        dt = chained_step_time(step, args, chain=chain,
-                               readback=lambda out: out[2],
-                               n_lo=2, n_hi=12, repeats=2)
-        print("packed-param MLP      : %7.3f ms/step" % (dt * 1e3),
-              flush=True)
-        print("packed-param speedup: %.2fx" % (dt_dense / dt), flush=True)
+        for name, (st, ar, ch) in {
+            "dense-masked   ": (step_d, args_d, None),
+            "packed (model) ": (step_p, args_p, None),
+            "packed (probe) ": (step_b, args_b, chain_b),
+        }.items():
+            if ch is None:
+                dt = time_step(st, ar)
+            else:
+                dt = chained_step_time(st, ar, chain=ch,
+                                       readback=lambda out: out[2],
+                                       n_lo=2, n_hi=12, repeats=4)
+            print("%s: %7.3f ms/step" % (name, dt * 1e3), flush=True)
         return
     builder = build_mlp if model == "mlp" else build
     for bs_on in (False, True):

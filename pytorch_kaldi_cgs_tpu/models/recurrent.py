@@ -187,17 +187,51 @@ class _RecurrentBase(AcousticModel):
             if self.block_sparse_mode.lower() == "auto" and not (
                     layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
                 continue   # not profitable: stay dense-masked
-            sub = BS.pack_blocks_multi(
-                [np.asarray(masks["hcgs_%s%d" % (g, i)]) for g in self.gates_x],
-                layout)
-            self._bs_layouts[i] = (layout, jnp.asarray(sub))
+            # per-gate level-2 submasks in the w3 layout (stacked along
+            # the gate axis the kernel consumes) + zero CSC placeholder
+            sub3 = jnp.concatenate(
+                [jnp.asarray(BS.pack_w3(
+                    np.asarray(masks["hcgs_%s%d" % (g, i)]), layout))
+                 for g in self.gates_x], axis=1)
+            self._bs_layouts[i] = (layout, sub3, None)
+
+    def pack_variables(self, variables):
+        """Dense x-gate weights -> packed w3 leaves for block-sparse
+        layers (idempotent on resumed/already-packed variables)."""
+        if not self._bs_layouts:
+            return variables
+        from ..ops import block_sparse as BS
+        params = dict(variables["params"])
+        for i, (layout, _, _) in self._bs_layouts.items():
+            for g in self.gates_x:
+                key = "%s%d" % (g, i)
+                if key in params:
+                    params[key + "__bs"] = jnp.asarray(
+                        BS.pack_w3(np.asarray(params.pop(key)), layout))
+        return {**variables, "params": params}
+
+    def unpack_variables(self, variables):
+        if not self._bs_layouts:
+            return variables
+        from ..ops import block_sparse as BS
+        params = dict(variables["params"])
+        for i, (layout, _, _) in self._bs_layouts.items():
+            for g in self.gates_x:
+                key = "%s%d__bs" % (g, i)
+                if key in params:
+                    params["%s%d" % (g, i)] = BS.unpack_w3(
+                        np.asarray(params.pop(key)), layout)
+        return {**variables, "params": params}
 
     def _proj_x_block_sparse(self, params, x, i):
         """Input projections through the fused multi-gate block-sparse
-        kernel: only kept MXU tiles are touched."""
+        kernel. Weights LIVE in the packed w3 layout (see
+        pack_variables): per step only the elementwise submask multiply
+        and quantizer run before the kernel — no dense gather and no
+        backward scatter."""
         from ..ops import block_sparse as BS
         from ..sparsity.quantize import ste_quantize_weight
-        layout, submask = self._bs_layouts[i]
+        layout, sub3, _ = self._bs_layouts[i]
         G = len(self.gates_x)
         T, B, F = x.shape
         xin = maybe_quant_input(x, self.spec).reshape(T * B, F)
@@ -207,14 +241,13 @@ class _RecurrentBase(AcousticModel):
         if pad:
             xin = jnp.concatenate(
                 [xin, jnp.zeros((pad, F), xin.dtype)], axis=0)
-        ws = [params["%s%d" % (g, i)] for g in self.gates_x]
+        w3 = BS.stack_w3_gates(params["%s%d__bs" % (g, i)]
+                               for g in self.gates_x)
         if self.spec.quant:
-            bits = self.spec.layer_bits(i)
-            ws = [ste_quantize_weight(w, bits) for w in ws]
-        blocks = BS.gather_blocks_multi(ws, layout) * submask
-        w3, w3csc = BS.v3_from_blocks(blocks, layout, G)
+            w3 = ste_quantize_weight(w3, self.spec.layer_bits(i))
+        w3 = w3 * sub3
         interpret = jax.default_backend() not in ("tpu", "axon")
-        ys = BS.block_sparse_matmul_v3(xin, w3, w3csc, layout, G,
+        ys = BS.block_sparse_matmul_v3(xin, w3, None, layout, G,
                                        tile_m=min(tile_m, xin.shape[0]),
                                        interpret=interpret)
         H = layout.N
@@ -223,7 +256,8 @@ class _RecurrentBase(AcousticModel):
     def _proj_x(self, params, state, new_state, masks, x, i, train):
         """Fused input projections + per-gate batch norm. Returns a list
         of (T, B, H) arrays, one per x-gate."""
-        if i in self._bs_layouts:
+        if i in self._bs_layouts and \
+                ("%s%d__bs" % (self.gates_x[0], i)) in params:
             outs = self._proj_x_block_sparse(params, x, i)
         else:
             W = self._stacked(params, masks, self.gates_x, i)

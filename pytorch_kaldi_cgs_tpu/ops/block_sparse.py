@@ -855,12 +855,16 @@ def _build_v3_ops(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
 
 
 def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
-                           w3csc: jnp.ndarray, layout: BlockLayout,
-                           n_mats: int, tile_m: int = 256,
+                           w3csc=None, layout: BlockLayout = None,
+                           n_mats: int = 1, tile_m: int = 256,
                            interpret: bool = False) -> jnp.ndarray:
     """Deep-contraction block-sparse matmul: ys[g] = x @ w_g_dense.T.
 
-    x: (M, K); (w3, w3csc) from :func:`gather_v3`. Returns (G, M, N).
+    x: (M, K); w3 from :func:`gather_v3` / :func:`pack_w3`. Returns
+    (G, M, N). ``w3csc`` is accepted for API compatibility but unused —
+    the backward kernels stream w3 directly (threading an unused
+    multi-MB operand through the custom_vjp materialized zero
+    cotangents for it every step).
     """
     M = x.shape[0]
     tile_m = min(tile_m, M)
@@ -890,18 +894,49 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
         return gg.reshape(M, Nb * G * bs)
 
     @jax.custom_vjp
-    def _op(x, w3, w3csc):
+    def _op(x, w3):
         return fwd(x, w3)
 
-    def _fwd_rule(x, w3, w3csc):
-        return fwd(x, w3), (x, w3, w3csc)
+    def _fwd_rule(x, w3):
+        return fwd(x, w3), (x, w3)
 
     def _bwd_rule(res, g):
-        x, w3, w3csc = res
+        x, w3 = res
         gg = _flatten_cotangent(g)
         dx = dxk(gg, w3, x.dtype)
         dw3 = dwk(gg, x, w3.dtype)
-        return dx, dw3, jnp.zeros_like(w3csc)
+        return dx, dw3
 
     _op.defvjp(_fwd_rule, _bwd_rule)
-    return _op(x, w3, w3csc)
+    return _op(x, w3)
+
+
+# ---------------------------------------------------------------------------
+# packed-parameter storage: block-sparse layers keep their weights IN
+# the w3 kernel layout (Nb, bs, R*bs) as trainable leaves. HCGS masks
+# are fixed for the whole run (ref: cfg/record.md §3), so the dropped
+# blocks are dead weights — storing only kept blocks removes the
+# per-step dense->packed gather AND its backward scatter (measured:
+# dense-stored sparse MLP 0.88x vs dense-masked, packed-stored 1.40x),
+# and shrinks params + optimizer state by the block compression ratio.
+# ---------------------------------------------------------------------------
+
+def pack_w3(w: np.ndarray, layout: BlockLayout) -> np.ndarray:
+    """Dense (N, K) -> packed (Nb, bs, R*bs) (host-side, numpy)."""
+    blocks = pack_blocks(np.asarray(w), layout)            # (nnz, bs, bs)
+    return blocks.reshape(layout.Nb, layout.R, layout.bs, layout.bs) \
+        .transpose(0, 2, 1, 3) \
+        .reshape(layout.Nb, layout.bs, layout.R * layout.bs)
+
+
+def unpack_w3(w3: np.ndarray, layout: BlockLayout) -> np.ndarray:
+    """Packed (Nb, bs, R*bs) -> dense (N, K) with dropped blocks zero."""
+    blocks = np.asarray(w3).reshape(layout.Nb, layout.bs, layout.R,
+                                    layout.bs).transpose(0, 2, 1, 3) \
+        .reshape(layout.nnz, layout.bs, layout.bs)
+    return unpack_blocks(blocks, layout)
+
+
+def stack_w3_gates(gate_w3s) -> jnp.ndarray:
+    """Per-gate packed (Nb, bs, R*bs) -> the kernel's (Nb, G*bs, R*bs)."""
+    return jnp.concatenate(list(gate_w3s), axis=1)

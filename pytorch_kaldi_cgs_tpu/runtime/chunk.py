@@ -336,6 +336,16 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
             else:
                 new_vars[arch] = variables[arch]
         variables = new_vars
+    # derive static block-sparse layouts from the (host) masks and
+    # convert eligible weights to packed storage BEFORE the optimizer
+    # state is built (opt state must mirror the packed leaves)
+    for arch in graph.net_order:
+        net = graph.nets[arch]
+        if hasattr(net, "prepare_block_sparse"):
+            net.prepare_block_sparse(variables[arch])
+        if hasattr(net, "pack_variables"):
+            variables[arch] = net.pack_variables(variables[arch])
+
     if opt_states is None or len(opt_states) != len(graph.nets):
         full = runner.init_opt_states(variables)
         if opt_states:
@@ -348,13 +358,6 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
             opt_states[arch] = set_learning_rate(opt_states[arch], lr)
         except (AttributeError, TypeError):
             pass
-
-    # derive static block-sparse layouts from the (host) masks before
-    # any jit trace happens
-    for arch in graph.net_order:
-        net = graph.nets[arch]
-        if hasattr(net, "prepare_block_sparse"):
-            net.prepare_block_sparse(variables[arch])
 
     # tensor-parallel placement ([exp] model_parallel > 1)
     variables, opt_states = runner.shard_model(variables, opt_states)

@@ -273,11 +273,23 @@ def test_lstm_block_sparse_path_matches_dense():
     v = m_dense.init(0)
     m_bs.prepare_block_sparse(v)
     assert 0 in m_bs._bs_layouts
+    v_bs = m_bs.pack_variables(v)
+    # weights now live packed: dense x-gate leaves replaced
+    assert "wfx0__bs" in v_bs["params"] and "wfx0" not in v_bs["params"]
+    # idempotent on resume (already-packed variables)
+    v_bs2 = m_bs.pack_variables(v_bs)
+    assert set(v_bs2["params"]) == set(v_bs["params"])
     x = jnp.array(np.random.RandomState(0).randn(4, 2, 256), jnp.float32)
     y_d, _ = m_dense.apply(v, x, train=False)
-    y_s, _ = m_bs.apply(v, x, train=False)
+    y_s, _ = m_bs.apply(v_bs, x, train=False)
     np.testing.assert_allclose(np.array(y_s), np.array(y_d), rtol=1e-4,
                                atol=1e-4)
+    # unpack round-trips to the masked dense weights
+    v_back = m_bs.unpack_variables(v_bs)
+    mask = np.asarray(v["masks"]["hcgs_wfx0"])
+    np.testing.assert_allclose(np.asarray(v_back["params"]["wfx0"]),
+                               np.asarray(v["params"]["wfx0"]) * mask,
+                               atol=1e-6)
 
 
 def test_mlp_block_sparse_path_matches_dense():
@@ -290,11 +302,30 @@ def test_mlp_block_sparse_path_matches_dense():
     m.prepare_block_sparse(v)
     assert 0 in m._bs_layouts
     assert 1 not in m._bs_layouts  # 8-dim output not 128-divisible
+    v_bs = m.pack_variables(v)
+    assert "w0__bs" in v_bs["params"] and "w0" not in v_bs["params"]
     x = jnp.array(np.random.RandomState(1).randn(8, 256), jnp.float32)
-    y_s, _ = m.apply(v, x, train=False)
+    y_s, _ = m.apply(v_bs, x, train=False)
     y_d, _ = m_dense.apply(v, x, train=False)
     np.testing.assert_allclose(np.array(y_s), np.array(y_d), rtol=1e-4,
                                atol=1e-4)
+
+    # packed grads == dense-masked grads mapped through the packing
+    def loss_bs(v_):
+        y, _ = m.apply(v_, x, train=False)
+        return jnp.sum(y * y)
+
+    def loss_d(v_):
+        y, _ = m_dense.apply(v_, x, train=False)
+        return jnp.sum(y * y)
+    g_bs = jax.grad(loss_bs)(v_bs)["params"]["w0__bs"]
+    g_d = jax.grad(loss_d)(v)["params"]["w0"]
+    from pytorch_kaldi_cgs_tpu.ops.block_sparse import pack_w3
+    layout = m._bs_layouts[0][0]
+    mask = np.asarray(v["masks"]["hcgs_w0"])
+    np.testing.assert_allclose(np.asarray(g_bs),
+                               pack_w3(np.asarray(g_d) * mask, layout),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_bf16_compute_close_to_f32():
