@@ -118,7 +118,7 @@ def main():
     tflops = FLOPS_PER_FRAME * frames_per_s / 1e12
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_TFLOPS.get(kind, 197.0)
-    calib = matmul_calibration()
+    calib = matmul_calibration(n=4096)  # 2048-windows jitter >peak
     baseline = 12900.0  # ref ~87 s/epoch TIMIT (1.12M frames), MLP on GPU
     print(json.dumps({
         "metric": "lstm_hcgs_train_frames_per_sec",
