@@ -98,11 +98,45 @@ def build_train_step():
     return train_step, (variables, opt_state, x, labels), T * B
 
 
+def measure_block_sparse_speedup(drop=87.5, width=2048, M=5120):
+    """Dense masked 4-gate projection vs the v3 block-sparse forward at
+    a record.md 32x-class design point (within this process, honest)."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_kaldi_cgs_tpu.ops import block_sparse as BS
+    from pytorch_kaldi_cgs_tpu.sparsity.hcgs import hcgs_mask
+    from pytorch_kaldi_cgs_tpu.utils.timing import device_loop_time
+
+    G = 4
+    mask = hcgs_mask(width, width, [128], [drop], seed=0)
+    layout = BS.pack_layout(np.asarray(mask), 128)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (M, width), jnp.float32)
+    ws = [jax.random.normal(jax.random.fold_in(key, g), (width, width),
+                            jnp.float32) * np.asarray(mask) for g in range(G)]
+    w_cat = jnp.concatenate([w.T for w in ws], axis=1)
+    w3, _ = BS.gather_v3(ws, layout)
+
+    def dense_body(c):
+        y = jnp.dot(c, w_cat, preferred_element_type=jnp.float32)
+        return c + jnp.sum(y, axis=1, keepdims=True) * 1e-9
+
+    def v3_body(c):
+        ys = BS.block_sparse_matmul_v3(c, w3, None, layout, G, tile_m=256)
+        return c + jnp.sum(ys, axis=(0, 2))[:, None] * 1e-9
+
+    td = device_loop_time(dense_body, x, n_lo=5, n_hi=35)
+    tv = device_loop_time(v3_body, x, n_lo=5, n_hi=35)
+    return td / tv
+
+
 def main():
+    import time as _time
     import jax
     from pytorch_kaldi_cgs_tpu.utils.timing import (chained_step_time,
                                                     matmul_calibration)
 
+    t_start = _time.time()
     train_step, (variables, opt_state, x, labels), frames = build_train_step()
     key0 = jax.random.PRNGKey(0)
 
@@ -119,6 +153,14 @@ def main():
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_TFLOPS.get(kind, 197.0)
     calib = matmul_calibration(n=4096)  # 2048-windows jitter >peak
+    # block-sparse vs dense masked projection at a 32x design point —
+    # skipped when compiles/contention already burned the time budget
+    bs_speedup = None
+    if _time.time() - t_start < 300:
+        try:
+            bs_speedup = round(measure_block_sparse_speedup(), 3)
+        except Exception:
+            bs_speedup = None
     baseline = 12900.0  # ref ~87 s/epoch TIMIT (1.12M frames), MLP on GPU
     print(json.dumps({
         "metric": "lstm_hcgs_train_frames_per_sec",
@@ -131,6 +173,7 @@ def main():
         "mfu": round(tflops / peak, 4),
         "mfu_vs_calibration": round(tflops / calib, 4),
         "matmul_calibration_tflops": round(calib, 1),
+        "block_sparse_speedup": bs_speedup,
         "device_kind": kind,
         "peak_bf16_tflops": peak,
     }))

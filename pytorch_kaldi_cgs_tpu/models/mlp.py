@@ -77,6 +77,12 @@ class MLP(AcousticModel):
                     "mlp layer %d: irregular HCGS layout (%s) — falling "
                     "back to the dense masked path", i, e)
                 continue
+            if layout.R < 1:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "mlp layer %d: HCGS drop leaves 0 kept blocks per row "
+                    "— dense masked path", i)
+                continue
             if self.block_sparse_mode.lower() == "auto" and not (
                     layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
                 continue   # not profitable: stay dense-masked

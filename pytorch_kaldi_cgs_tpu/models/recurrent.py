@@ -163,6 +163,7 @@ class _RecurrentBase(AcousticModel):
             return  # dynamic-mask modes stay on the dense-masked path
         from ..ops import block_sparse as BS
         masks = variables["masks"]
+        self._prepare_sparse_recurrence(variables)
         for i in range(self.N):
             key = "hcgs_%s%d" % (self.gates_x[0], i)
             if key not in masks:
@@ -184,6 +185,12 @@ class _RecurrentBase(AcousticModel):
                     "%s layer %d: irregular HCGS layout (%s) — falling "
                     "back to the dense masked path", self.prefix, i, e)
                 continue
+            if layout.R < 1:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "%s layer %d: HCGS drop leaves 0 kept blocks per row "
+                    "— dense masked path", self.prefix, i)
+                continue
             if self.block_sparse_mode.lower() == "auto" and not (
                     layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
                 continue   # not profitable: stay dense-masked
@@ -194,6 +201,38 @@ class _RecurrentBase(AcousticModel):
                     np.asarray(masks["hcgs_%s%d" % (g, i)]), layout))
                  for g in self.gates_x], axis=1)
             self._bs_layouts[i] = (layout, sub3, None)
+
+    def _prepare_sparse_recurrence(self, variables) -> None:
+        """LSTM only: a block-sparse FUSED recurrence layout over the
+        stacked (nG*H, H) recurrent mask — lets wide layers whose dense
+        U overflows VMEM still run the whole time loop in one kernel,
+        touching only kept blocks (see ops.fused_lstm)."""
+        if self.prefix != "lstm":
+            return
+        from ..ops import block_sparse as BS
+        from ..ops.fused_lstm import sparse_scan_fits_vmem
+        masks = variables["masks"]
+        self._rec_layouts: Dict[int, Any] = {}
+        bs_ = self.spec.hcgsh_block[0] if self.spec.hcgsh_block else 0
+        if not bs_ or bs_ % 128:
+            return
+        for i in range(self.N):
+            key = "hcgs_%s%d" % (self.gates_h[0], i)
+            if key not in masks:
+                continue
+            stacked = np.concatenate(
+                [np.asarray(masks["hcgs_%s%d" % (g, i)])
+                 for g in self.gates_h], axis=0)
+            try:
+                layout = BS.pack_layout(stacked, bs_)
+            except ValueError:
+                continue
+            # only worthwhile with a real FLOP cut, and must fit VMEM
+            if layout.R < 1 or layout.R * 2 > layout.Kb:
+                continue
+            if not sparse_scan_fits_vmem(64, self.lay[i], layout):
+                continue
+            self._rec_layouts[i] = layout
 
     def pack_variables(self, variables):
         """Dense x-gate weights -> packed w3 leaves for block-sparse
@@ -282,6 +321,10 @@ class _RecurrentBase(AcousticModel):
                 outs[k] = flat.reshape(T, B, H)
         return outs
 
+    def _fused_forced(self) -> bool:
+        return str(self.options.get("lstm_fused_scan", "")).strip() in (
+            "True", "true", "1")
+
     def _use_fused_scan(self, use_ln, act_name, B, H) -> bool:
         """Fused Pallas recurrence eligibility (LSTM only): supported
         activation, no in-scan layer norm, VMEM budget, and either a
@@ -340,12 +383,12 @@ class _RecurrentBase(AcousticModel):
             ln_p = params.get("ln%d" % i)
             h = self._run_scan(proj, U, drop_mask, self._acts[i], ln_p,
                                self.use_laynorm[i], B, H,
-                               act_name=self.act_names[i])
+                               act_name=self.act_names[i], layer=i)
             x = self._maybe_bidir_out(h, orig_B)
         return x, new_state
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
-                  act_name=""):
+                  act_name="", layer=-1):
         raise NotImplementedError
 
     def _rmm(self, h, U):
@@ -414,14 +457,25 @@ class LSTM(_RecurrentBase):
     bn_gates = ["wfx", "wix", "wox", "wcx"]
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
-                  act_name=""):
+                  act_name="", layer=-1):
         wfx, wix, wox, wcx = proj
         gates_t = jnp.concatenate([wfx, wix, wox, wcx], axis=-1)  # (T,B,4H)
+        qb = (self.spec.inp_quant[0]
+              if (self.spec.quant and self.spec.quant_inp) else 0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        rec_layout = getattr(self, "_rec_layouts", {}).get(layer)
+        if rec_layout is not None and not use_ln and \
+                act_name in ("tanh", "relu", "htanh", "linear") and \
+                (jax.default_backend() in ("tpu", "axon") or
+                 self._fused_forced()):
+            from ..ops.fused_lstm import (csc_from_dense,
+                                          lstm_scan_fused_sparse)
+            u_csc = csc_from_dense(U.astype(jnp.float32), rec_layout)
+            return lstm_scan_fused_sparse(
+                gates_t.astype(jnp.float32), u_csc, rec_layout, drop_mask,
+                act=act_name, quant_bits=qb, interpret=interpret)
         if self._use_fused_scan(use_ln, act_name, B, H):
             from ..ops.fused_lstm import lstm_scan_fused
-            qb = (self.spec.inp_quant[0]
-                  if (self.spec.quant and self.spec.quant_inp) else 0)
-            interpret = jax.default_backend() not in ("tpu", "axon")
             return lstm_scan_fused(gates_t.astype(jnp.float32),
                                    U.astype(jnp.float32), drop_mask,
                                    act=act_name, quant_bits=qb,
@@ -453,7 +507,7 @@ class GRU(_RecurrentBase):
     bn_gates = ["wh", "wz", "wr"]
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
-                  act_name=""):
+                  act_name="", layer=-1):
         wh, wz, wr = proj
         gates_t = jnp.concatenate([wh, wz, wr], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -483,7 +537,7 @@ class liGRU(_RecurrentBase):
     bn_gates = ["wh", "wz"]
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
-                  act_name=""):
+                  act_name="", layer=-1):
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -511,7 +565,7 @@ class minimalGRU(_RecurrentBase):
     bn_gates = ["wh", "wz"]
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
-                  act_name=""):
+                  act_name="", layer=-1):
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -540,7 +594,7 @@ class RNN(_RecurrentBase):
     bn_gates = ["wh"]
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
-                  act_name=""):
+                  act_name="", layer=-1):
         wh = proj[0]
         h0 = jnp.zeros((B, H), wh.dtype)
 

@@ -94,3 +94,81 @@ def test_model_fused_path_matches_scan_path():
     g2 = jax.tree_util.tree_leaves(jax.grad(lambda v: loss(v, m_fused))(v))
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_sparse_fused_scan_matches_scan():
+    """Block-sparse fused recurrence (ops.fused_lstm.lstm_scan_fused_sparse)
+    vs lax.scan over the masked dense U: exact forward, grads incl. the
+    dU path through the block-sparse dw kernel."""
+    from pytorch_kaldi_cgs_tpu.ops import block_sparse as BS
+    from pytorch_kaldi_cgs_tpu.ops import fused_lstm as FL
+    from pytorch_kaldi_cgs_tpu.sparsity.hcgs import hcgs_mask
+
+    T, B, H, bs = 10, 4, 16, 8
+    rng = np.random.RandomState(0)
+    mask = hcgs_mask(4 * H, H, [bs], [50.0], rng=rng)
+    layout = BS.pack_layout(np.asarray(mask), bs)
+    U = (rng.randn(4 * H, H) * 0.2).astype(np.float32) * np.asarray(mask)
+    ucsc = jnp.asarray(FL.pack_u_csc(U, layout))
+    g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
+    drop = jnp.ones((B, H), jnp.float32)
+
+    hs_ref = _scan_ref(g, jnp.asarray(U), drop)
+    hs = FL.lstm_scan_fused_sparse(g, ucsc, layout, drop, interpret=True)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-6)
+
+    tgt = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+    gr_ref = jax.grad(lambda g, U: jnp.sum((_scan_ref(g, U, drop) - tgt) ** 2),
+                      argnums=(0, 1))(g, jnp.asarray(U))
+    gr = jax.grad(lambda g, u: jnp.sum(
+        (FL.lstm_scan_fused_sparse(g, u, layout, drop,
+                                   interpret=True) - tgt) ** 2),
+        argnums=(0, 1))(g, ucsc)
+    np.testing.assert_allclose(np.asarray(gr[0]), np.asarray(gr_ref[0]),
+                               atol=1e-4)
+    du_ref = FL._w3_to_csc(jnp.asarray(BS.pack_w3(
+        np.asarray(gr_ref[1]) * np.asarray(mask), layout)), layout)
+    np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(du_ref),
+                               atol=1e-4)
+
+
+def test_model_sparse_recurrence_matches_dense():
+    """Full LSTM model: sparse fused recurrence + packed projections ==
+    the plain masked lax.scan path, forward AND recurrent grads."""
+    from pytorch_kaldi_cgs_tpu.models.recurrent import LSTM
+    opts = {"lstm_lay": "256", "lstm_drop": "0.0",
+            "lstm_use_batchnorm": "True", "lstm_use_laynorm": "False",
+            "lstm_use_laynorm_inp": "False", "lstm_use_batchnorm_inp": "False",
+            "lstm_act": "tanh", "lstm_orthinit": "True", "lstm_bidir": "False",
+            "to_do": "train", "lstm_hcgs": "True",
+            "hcgsx_block": "128", "hcgsh_block": "128",
+            "hcgsx_sparse": "50", "hcgsh_sparse": "50",
+            "lstm_quant": "False", "param_quant": "8",
+            "lstm_quant_inp": "False", "inp_quant": "16",
+            "lstm_prune": "False", "lstm_prune_perc": "0",
+            "skip_regularization": "True", "guided_hcgs": "False",
+            "apply_guided_hcgs": "False", "arch_name": "t",
+            "scan_unroll": "1"}
+    x = np.random.RandomState(0).randn(12, 4, 64).astype(np.float32)
+    m_plain = LSTM(dict(opts, lstm_fused_scan="False",
+                        lstm_block_sparse="False"), 64)
+    m_sp = LSTM(dict(opts, lstm_fused_scan="True",
+                     lstm_block_sparse="True"), 64)
+    v = m_plain.init(0)
+    m_sp.prepare_block_sparse(v)
+    assert 0 in m_sp._rec_layouts
+    v_s = m_sp.pack_variables(v)
+    key = jax.random.PRNGKey(3)
+    y1, _ = m_plain.apply(v, x, train=True, rng=key)
+    y2, _ = m_sp.apply(v_s, x, train=True, rng=key)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+
+    def loss(v_, m):
+        y, _ = m.apply(v_, x, train=True, rng=key)
+        return jnp.sum(y * y)
+    g1 = jax.grad(lambda v_: loss(v_, m_plain))(v)["params"]
+    g2 = jax.grad(lambda v_: loss(v_, m_sp))(v_s)["params"]
+    for k in g1:
+        if k.startswith("u"):
+            np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                       atol=1e-4)
