@@ -210,7 +210,6 @@ class _RecurrentBase(AcousticModel):
         if self.prefix != "lstm":
             return
         from ..ops import block_sparse as BS
-        from ..ops.fused_lstm import sparse_scan_fits_vmem
         masks = variables["masks"]
         self._rec_layouts: Dict[int, Any] = {}
         bs_ = self.spec.hcgsh_block[0] if self.spec.hcgsh_block else 0
@@ -220,17 +219,16 @@ class _RecurrentBase(AcousticModel):
             key = "hcgs_%s%d" % (self.gates_h[0], i)
             if key not in masks:
                 continue
-            stacked = np.concatenate(
-                [np.asarray(masks["hcgs_%s%d" % (g, i)])
-                 for g in self.gates_h], axis=0)
+            # the h-gates share ONE mask (ref: neural_networks.py:
+            # 978-983): a per-gate (H, H) layout packs all gates into
+            # the (Nb, G*bs, R*bs) row-major form with zero padding
             try:
-                layout = BS.pack_layout(stacked, bs_)
+                layout = BS.pack_layout(np.asarray(masks[key]), bs_)
             except ValueError:
                 continue
-            # only worthwhile with a real FLOP cut, and must fit VMEM
+            # only worthwhile with a real FLOP cut; the VMEM fit is
+            # checked at trace time when the batch size is known
             if layout.R < 1 or layout.R * 2 > layout.Kb:
-                continue
-            if not sparse_scan_fits_vmem(64, self.lay[i], layout):
                 continue
             self._rec_layouts[i] = layout
 
@@ -464,15 +462,23 @@ class LSTM(_RecurrentBase):
               if (self.spec.quant and self.spec.quant_inp) else 0)
         interpret = jax.default_backend() not in ("tpu", "axon")
         rec_layout = getattr(self, "_rec_layouts", {}).get(layer)
+        if rec_layout is not None:
+            from ..ops.fused_lstm import sparse_scan_fits_vmem
+            if not sparse_scan_fits_vmem(B, H, rec_layout):
+                rec_layout = None
         if rec_layout is not None and not use_ln and \
                 act_name in ("tanh", "relu", "htanh", "linear") and \
                 (jax.default_backend() in ("tpu", "axon") or
                  self._fused_forced()):
-            from ..ops.fused_lstm import (csc_from_dense,
-                                          lstm_scan_fused_sparse)
-            u_csc = csc_from_dense(U.astype(jnp.float32), rec_layout)
+            from ..ops import block_sparse as BS
+            from ..ops.fused_lstm import lstm_scan_fused_sparse
+            Uf = U.astype(jnp.float32)
+            gates = [Uf[g_ * H:(g_ + 1) * H] for g_ in range(len(self.gates_h))]
+            w3g, _ = BS.v3_from_blocks(
+                BS.gather_blocks_multi(gates, rec_layout), rec_layout,
+                len(gates))
             return lstm_scan_fused_sparse(
-                gates_t.astype(jnp.float32), u_csc, rec_layout, drop_mask,
+                gates_t.astype(jnp.float32), w3g, rec_layout, drop_mask,
                 act=act_name, quant_bits=qb, interpret=interpret)
         if self._use_fused_scan(use_ln, act_name, B, H):
             from ..ops.fused_lstm import lstm_scan_fused

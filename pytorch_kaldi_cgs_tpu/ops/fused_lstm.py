@@ -284,46 +284,42 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# block-sparse fused recurrence: the recurrent matrix U (4H, H) is HCGS
-# block-sparse; only its KEPT blocks live in VMEM, in a per-in-block
-# (CSC) layout, so wide layers whose dense U overflows VMEM (2048-wide =
-# 64MB) still run the whole time loop in one kernel. Per step:
-#   for each in-block c: part_c = h_c @ Ucsc[c]        (one deep dot)
-#   scatter-add part_c slices into u at the kept out-block rows
-# dU does NOT accumulate in the kernel (VMEM): the backward scan emits
-# the per-step gate cotangents dg_t, and dU comes from the existing
-# block-sparse dw kernel over the whole (T*B) batch outside the scan.
+# block-sparse fused recurrence: the per-gate recurrent matrices (H, H)
+# share one HCGS mask (ref: neural_networks.py:978-983), so the kept
+# blocks pack into the same (Nb, G*bs, R*bs) row-major w3 layout the
+# projection kernels use — NO column padding (the CSC layout's C_max
+# padding overflowed VMEM at 2048-wide) and NO scatter in the forward:
+# per step ONE batched dot over out-blocks,
+#   gath (Nb, B, R*bs)  x  w3g (Nb, G*bs, R*bs)  ->  (Nb, B, G*bs)
+# with static column gathers (col_idx are compile-time ints). dU comes
+# from the v3 dw kernel over the unrolled (T*B) batch outside the scan.
 # ---------------------------------------------------------------------------
-
-def pack_u_csc(U: np.ndarray, layout) -> np.ndarray:
-    """Dense (4H, H) recurrent weights -> (Kb, bs, C*bs): for in-block
-    c, column k holds kept out-block t_row_idx[c*C+k]'s (bs, bs) block,
-    TRANSPOSED so that  h_c @ Ucsc[c]  yields that block's u slice.
-    Padded (t_perm == nnz) slots are zero."""
-    bs = layout.bs
-    U = np.asarray(U)
-    out = np.zeros((layout.Kb, bs, layout.C * bs), U.dtype)
-    blocks = None
-    from .block_sparse import pack_blocks
-    blocks = pack_blocks(U, layout)            # (nnz, bs, bs) [out, in]
-    for c in range(layout.Kb):
-        for k in range(layout.C):
-            p = layout.t_perm[c * layout.C + k]
-            if p < layout.nnz:
-                out[c, :, k * bs:(k + 1) * bs] = blocks[p].T
-    return out
 
 
 @functools.lru_cache(maxsize=16)
 def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
-                      Kb: int, C: int, bs: int, t_row: tuple,
+                      Nb: int, R: int, bs: int, G: int, col_idx: tuple,
                       interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref,
-               u_acc):
+    def _recurrent_u(h, u_ref):
+        gath = jnp.stack([
+            jnp.concatenate([h[:, col_idx[j * R + k] * bs:
+                               (col_idx[j * R + k] + 1) * bs]
+                             for k in range(R)], axis=1)
+            for j in range(Nb)])                      # (Nb, B, R*bs)
+        part = jax.lax.dot_general(
+            gath.astype(u_ref.dtype), u_ref[...],
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (Nb, B, G*bs)
+        # -> (B, G, Nb, bs) -> (B, G*H): gate-major, block j at offset
+        # g*H + j*bs — matching the dense u = h @ U_stacked.T layout
+        part = part.reshape(Nb, B, G, bs).transpose(1, 2, 0, 3)
+        return part.reshape(B, G * H)
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -332,18 +328,8 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
             c_ref[...] = jnp.zeros_like(c_ref)
 
         hq = _q_input(h_ref[...], qbits)
-        u_acc[...] = jnp.zeros_like(u_acc)
-        # ONE batched dot over all in-blocks: (Kb,B,bs)x(Kb,bs,C*bs)
-        hb = jnp.swapaxes(hq.reshape(B, Kb, bs), 0, 1).astype(u_ref.dtype)
-        part_all = jax.lax.dot_general(
-            hb, u_ref[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # (Kb, B, C*bs)
-        for c in range(Kb):
-            for k in range(C):
-                r = t_row[c * C + k]    # python int: STATIC ref slices
-                u_acc[:, r * bs:(r + 1) * bs] += \
-                    part_all[c, :, k * bs:(k + 1) * bs]
-        g = g_ref[0].astype(jnp.float32) + u_acc[...]
+        u = _recurrent_u(hq, u_ref)
+        g = g_ref[0].astype(jnp.float32) + u
         gf = jax.nn.sigmoid(g[:, :H])
         gi = jax.nn.sigmoid(g[:, H:2 * H])
         go = jax.nn.sigmoid(g[:, 2 * H:3 * H])
@@ -355,13 +341,13 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
         h_out[0] = h.astype(h_out.dtype)
         c_out[0] = cc.astype(c_out.dtype)
 
-    def call(gates_t, u_csc, drop_mask):
+    def call(gates_t, w3g, drop_mask):
         return pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((1, B, 4 * H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((Kb, bs, C * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((Nb, G * bs, R * bs), lambda t: (0, 0, 0)),
                 pl.BlockSpec((B, H), lambda t: (0, 0)),
             ],
             out_specs=[
@@ -375,32 +361,30 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
             scratch_shapes=[
                 pltpu.VMEM((B, H), jnp.float32),
                 pltpu.VMEM((B, H), jnp.float32),
-                pltpu.VMEM((B, 4 * H), jnp.float32),
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * T * B * bs * bs * Kb * C,
-                bytes_accessed=(T * B * 4 * H + Kb * C * bs * bs
+                flops=2 * T * B * bs * bs * Nb * R * G,
+                bytes_accessed=(T * B * 4 * H + Nb * G * R * bs * bs
                                 + 2 * T * B * H) * 4,
                 transcendentals=T * B * H * 4),
-        )(gates_t, u_csc, drop_mask)
+        )(gates_t, w3g, drop_mask)
 
     return call
 
 
 @functools.lru_cache(maxsize=16)
 def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
-                      Kb: int, C: int, bs: int, t_row: tuple,
+                      Nb: int, R: int, bs: int, G: int, col_idx: tuple,
                       interpret: bool):
-    """Reverse BPTT emitting dg_t only; dh_{t-1} = gather(dg) @ Ucsc^T
-    per in-block. dU is computed OUTSIDE by the block-sparse dw kernel
-    over the whole batch."""
+    """Reverse BPTT emitting dg_t; dh_{t-1} via one batched dot + static
+    scatter-adds into a VMEM scratch. dU handled outside (v3 dw kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
     def kernel(g_ref, u_ref, drop_ref, hprev_ref, cprev_ref, dh_in_ref,
-               dg_out, dh_ref, dc_ref, u_acc):
+               dg_out, dh_ref, dc_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -410,18 +394,18 @@ def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
 
         h_prev = _q_input(hprev_ref[0].astype(jnp.float32), qbits)
         c_prev = cprev_ref[0].astype(jnp.float32)
-        u_acc[...] = jnp.zeros_like(u_acc)
-        hb = jnp.swapaxes(h_prev.reshape(B, Kb, bs), 0, 1) \
-            .astype(u_ref.dtype)
-        part_all = jax.lax.dot_general(
-            hb, u_ref[...], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # (Kb, B, C*bs)
-        for c in range(Kb):
-            for k in range(C):
-                r = t_row[c * C + k]
-                u_acc[:, r * bs:(r + 1) * bs] += \
-                    part_all[c, :, k * bs:(k + 1) * bs]
-        g = g_ref[0].astype(jnp.float32) + u_acc[...]
+        gath = jnp.stack([
+            jnp.concatenate([h_prev[:, col_idx[j * R + k] * bs:
+                                    (col_idx[j * R + k] + 1) * bs]
+                             for k in range(R)], axis=1)
+            for j in range(Nb)])
+        part = jax.lax.dot_general(
+            gath.astype(u_ref.dtype), u_ref[...],
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        u = part.reshape(Nb, B, G, bs).transpose(1, 2, 0, 3) \
+            .reshape(B, G * H)
+        g = g_ref[0].astype(jnp.float32) + u
         gf = jax.nn.sigmoid(g[:, :H])
         gi = jax.nn.sigmoid(g[:, H:2 * H])
         go = jax.nn.sigmoid(g[:, 2 * H:3 * H])
@@ -438,29 +422,34 @@ def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
         dgi = dc * gc * drop * gi * (1.0 - gi)
         dgc = dc * gi * drop * _dact_from_pre(act, gc_pre)
         dg = jnp.concatenate([dgf, dgi, dgo, dgc], axis=1)   # (B, 4H)
-        # dh_prev: per in-block, gather the kept dg slices and contract
-        # with Ucsc[c]^T — write each bs-wide result straight into the
-        # carry ref (static slices)
-        gath_all = jnp.stack(
-            [jnp.concatenate(
-                [dg[:, t_row[c * C + k] * bs:(t_row[c * C + k] + 1) * bs]
-                 for k in range(C)], axis=1) for c in range(Kb)])
-        dh_all = jax.lax.dot_general(
-            gath_all.astype(u_ref.dtype), u_ref[...],
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # (Kb, B, bs)
-        dh_ref[...] = jnp.swapaxes(dh_all, 0, 1).reshape(B, H)
+        # dh_prev: gather dg per (gate, out-block) -> (Nb, B, G*bs),
+        # batched dot with w3g over its G*bs dim, scatter-add the R
+        # bs-slices back into dh columns (STATIC indices)
+        dgb = jnp.stack([
+            jnp.concatenate([dg[:, g_ * H + j * bs:g_ * H + (j + 1) * bs]
+                             for g_ in range(G)], axis=1)
+            for j in range(Nb)])                       # (Nb, B, G*bs)
+        dpart = jax.lax.dot_general(
+            dgb.astype(u_ref.dtype), u_ref[...],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (Nb, B, R*bs)
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        for j in range(Nb):
+            for k in range(R):
+                c_ = col_idx[j * R + k]
+                dh_ref[:, c_ * bs:(c_ + 1) * bs] += \
+                    dpart[j, :, k * bs:(k + 1) * bs]
         dc_ref[...] = dc * gf
         dg_out[0] = dg.astype(dg_out.dtype)
 
-    def call(gates_t, u_csc, drop_mask, h_prev_seq, c_prev_seq, dhs):
+    def call(gates_t, w3g, drop_mask, h_prev_seq, c_prev_seq, dhs):
         rev = lambda t: (T - 1 - t, 0, 0)
         return pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((1, B, 4 * H), rev),
-                pl.BlockSpec((Kb, bs, C * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((Nb, G * bs, R * bs), lambda t: (0, 0, 0)),
                 pl.BlockSpec((B, H), lambda t: (0, 0)),
                 pl.BlockSpec((1, B, H), rev),
                 pl.BlockSpec((1, B, H), rev),
@@ -471,22 +460,20 @@ def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
             scratch_shapes=[
                 pltpu.VMEM((B, H), jnp.float32),
                 pltpu.VMEM((B, H), jnp.float32),
-                pltpu.VMEM((B, 4 * H), jnp.float32),
             ],
             interpret=interpret,
-        )(gates_t, u_csc, drop_mask, h_prev_seq, c_prev_seq, dhs)
+        )(gates_t, w3g, drop_mask, h_prev_seq, c_prev_seq, dhs)
 
     return call
 
 
-def sparse_scan_fits_vmem(B: int, H: int, layout) -> str:
-    """Returns the u_csc VMEM dtype to use ("f32"/"bf16") or "" when
-    even bf16 storage overflows. bf16 halves the resident CSC (the
-    C-padding waste makes 2048-wide/87.5%-drop overflow f32); dots
-    still accumulate f32."""
+def sparse_scan_fits_vmem(B: int, H: int, layout, G: int = 4) -> str:
+    """Returns the resident w3g VMEM dtype ("f32"/"bf16") or "" when
+    even bf16 overflows. Row-major packing has zero padding: bytes =
+    nnz * G * bs^2 * dtype."""
     work = 10 * B * H * 4 + 3 * B * 4 * H * 4
     budget = 13 * 1024 * 1024
-    u_f32 = layout.Kb * layout.C * layout.bs * layout.bs * 4
+    u_f32 = layout.nnz * G * layout.bs * layout.bs * 4
     if u_f32 + work < budget:
         return "f32"
     if u_f32 // 2 + work < budget:
@@ -494,56 +481,56 @@ def sparse_scan_fits_vmem(B: int, H: int, layout) -> str:
     return ""
 
 
-
-def lstm_scan_fused_sparse(gates_t: jnp.ndarray, u_csc: jnp.ndarray,
+def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
                            layout, drop_mask: jnp.ndarray,
                            act: str = "tanh", quant_bits: int = 0,
                            interpret: bool = False) -> jnp.ndarray:
-    """Fused LSTM recurrence with a BLOCK-SPARSE recurrent matrix.
+    """Fused LSTM recurrence with BLOCK-SPARSE per-gate recurrent
+    matrices sharing one HCGS mask.
 
-    gates_t: (T, B, 4H); u_csc: (Kb, bs, C*bs) from :func:`pack_u_csc`
-    over the hcgsh mask's BlockLayout of the stacked (4H, H) recurrent
-    weights. Differentiable w.r.t. gates_t and u_csc (dU computed by the
-    block-sparse dw kernel over the whole unrolled batch).
+    gates_t: (T, B, 4H) in (f, i, o, c) order; w3g: (Nb, G*bs, R*bs)
+    packed per-gate kept blocks (ops.block_sparse.v3_from_blocks /
+    gather_blocks_multi over the per-gate (H, H) layout). Differentiable
+    w.r.t. gates_t and w3g.
     """
     T, B, G4 = gates_t.shape
     H = G4 // 4
-    bs, Kb, C = layout.bs, layout.Kb, layout.C
-    t_row = tuple(int(v) for v in layout.t_row_idx)
+    G = 4
+    bs, Nb, R = layout.bs, layout.Nb, layout.R
+    col_idx = tuple(int(v) for v in layout.col_idx)
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
-    mode = sparse_scan_fits_vmem(B, H, layout)
+    mode = sparse_scan_fits_vmem(B, H, layout, G)
     if mode == "bf16":
-        u_csc = u_csc.astype(jnp.bfloat16)
-    fwd = _build_fwd_sparse(T, B, H, act, quant_bits, Kb, C, bs, t_row,
-                            interpret)
-    bwd = _build_bwd_sparse(T, B, H, act, quant_bits, Kb, C, bs, t_row,
-                            interpret)
+        w3g = w3g.astype(jnp.bfloat16)
+    fwd = _build_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
+                            col_idx, interpret)
+    bwd = _build_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
+                            col_idx, interpret)
 
     @jax.custom_vjp
-    def _op(gates_t, u_csc):
-        hs, _ = fwd(gates_t, u_csc, drop)
+    def _op(gates_t, w3g):
+        hs, _ = fwd(gates_t, w3g, drop)
         return hs
 
-    def _fwd_rule(gates_t, u_csc):
-        hs, cs = fwd(gates_t, u_csc, drop)
-        return hs, (gates_t, u_csc, hs, cs)
+    def _fwd_rule(gates_t, w3g):
+        hs, cs = fwd(gates_t, w3g, drop)
+        return hs, (gates_t, w3g, hs, cs)
 
     def _bwd_rule(res, dhs):
         from . import block_sparse as BS
-        gates_t, u_csc, hs, cs = res
+        gates_t, w3g, hs, cs = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
-        dg = bwd(gates_t, u_csc, drop, h_prev, c_prev,
+        dg = bwd(gates_t, w3g, drop, h_prev, c_prev,
                  dhs.astype(jnp.float32))
-        # dU over the whole unrolled batch via the v3 dw kernel:
-        # dU_dense = dg_flat^T @ q(h_prev)_flat restricted to kept blocks
         M = T * B
-        dg_flat = dg.reshape(M, 4 * H)
         hq = _q_input(h_prev.reshape(M, H), quant_bits) \
             if quant_bits > 0 else h_prev.reshape(M, H)
-        # the dw kernel consumes gy in the (M, Nb*G*bs) flat layout with
-        # G=1 over the (4H, H) layout: that's dg_flat as-is
+        # flatten dg to the (M, Nb*G*bs) layout the dw kernel streams:
+        # per out-block j, the G gates' bs-slices adjacent
+        dg_flat = dg.reshape(M, G, Nb, bs).transpose(0, 2, 1, 3) \
+            .reshape(M, Nb * G * bs)
         tile = 8
         t_ = 8
         bound = max(8, (1024 * 1024 // layout.K) // 8 * 8)
@@ -551,39 +538,9 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, u_csc: jnp.ndarray,
             if M % t_ == 0:
                 tile = t_
             t_ += 8
-        _, _, dwk = BS._build_v3_ops(layout, 1, tile, interpret)
-        dw3 = dwk(dg_flat, hq, jnp.float32)     # (Nb, bs, R*bs)
-        # map row-major dw3 -> the CSC layout of u_csc
-        dw_csc = _w3_to_csc(dw3, layout)
-        return dg.astype(gates_t.dtype), dw_csc.astype(u_csc.dtype)
+        _, _, dwk = BS._build_v3_ops(layout, G, tile, interpret)
+        dw3g = dwk(dg_flat, hq, jnp.float32)   # (Nb, G*bs, R*bs)
+        return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
-    return _op(gates_t, u_csc)
-
-
-def _w3_to_csc(w3: jnp.ndarray, layout) -> jnp.ndarray:
-    """(Nb, bs, R*bs) row-major packed blocks -> (Kb, bs, C*bs) CSC
-    (transposed per block), zero-padding unused slots."""
-    bs = layout.bs
-    blocks = w3.reshape(layout.Nb, bs, layout.R, bs) \
-        .transpose(0, 2, 1, 3).reshape(layout.nnz, bs, bs)
-    pad = jnp.zeros((1, bs, bs), w3.dtype)
-    blocks_pad = jnp.concatenate([blocks, pad], axis=0)
-    csc = blocks_pad[jnp.asarray(layout.t_perm)]      # (Kb*C, bs, bs)
-    csc = jnp.swapaxes(csc, 1, 2)                     # transpose blocks
-    return csc.reshape(layout.Kb, layout.C, bs, bs) \
-        .transpose(0, 2, 1, 3).reshape(layout.Kb, bs, layout.C * bs)
-
-
-def csc_from_dense(U: jnp.ndarray, layout) -> jnp.ndarray:
-    """Traceable dense (4H, H) -> (Kb, bs, C*bs) CSC gather (gradients
-    scatter back to the dense weights)."""
-    bs = layout.bs
-    Ub = U.reshape(layout.Nb, bs, layout.Kb, bs)
-    blocks = Ub[jnp.asarray(layout.rows), :, jnp.asarray(layout.cols), :]
-    pad = jnp.zeros((1, bs, bs), U.dtype)
-    blocks_pad = jnp.concatenate([blocks, pad], axis=0)
-    csc = blocks_pad[jnp.asarray(layout.t_perm)]
-    csc = jnp.swapaxes(csc, 1, 2)
-    return csc.reshape(layout.Kb, layout.C, bs, bs) \
-        .transpose(0, 2, 1, 3).reshape(layout.Kb, bs, layout.C * bs)
+    return _op(gates_t, w3g)

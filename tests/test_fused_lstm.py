@@ -106,28 +106,33 @@ def test_sparse_fused_scan_matches_scan():
 
     T, B, H, bs = 10, 4, 16, 8
     rng = np.random.RandomState(0)
-    mask = hcgs_mask(4 * H, H, [bs], [50.0], rng=rng)
+    mask = hcgs_mask(H, H, [bs], [50.0], rng=rng)   # ONE per-gate mask
     layout = BS.pack_layout(np.asarray(mask), bs)
-    U = (rng.randn(4 * H, H) * 0.2).astype(np.float32) * np.asarray(mask)
-    ucsc = jnp.asarray(FL.pack_u_csc(U, layout))
+    mask4 = np.tile(np.asarray(mask), (4, 1))
+    U = (rng.randn(4 * H, H) * 0.2).astype(np.float32) * mask4
+    w3g, _ = BS.v3_from_blocks(BS.gather_blocks_multi(
+        [jnp.asarray(U[g_ * H:(g_ + 1) * H]) for g_ in range(4)], layout),
+        layout, 4)
     g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
     drop = jnp.ones((B, H), jnp.float32)
 
     hs_ref = _scan_ref(g, jnp.asarray(U), drop)
-    hs = FL.lstm_scan_fused_sparse(g, ucsc, layout, drop, interpret=True)
+    hs = FL.lstm_scan_fused_sparse(g, w3g, layout, drop, interpret=True)
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-6)
 
     tgt = jnp.asarray(rng.randn(T, B, H), jnp.float32)
     gr_ref = jax.grad(lambda g, U: jnp.sum((_scan_ref(g, U, drop) - tgt) ** 2),
                       argnums=(0, 1))(g, jnp.asarray(U))
-    gr = jax.grad(lambda g, u: jnp.sum(
-        (FL.lstm_scan_fused_sparse(g, u, layout, drop,
+    gr = jax.grad(lambda g, w: jnp.sum(
+        (FL.lstm_scan_fused_sparse(g, w, layout, drop,
                                    interpret=True) - tgt) ** 2),
-        argnums=(0, 1))(g, ucsc)
+        argnums=(0, 1))(g, w3g)
     np.testing.assert_allclose(np.asarray(gr[0]), np.asarray(gr_ref[0]),
                                atol=1e-4)
-    du_ref = FL._w3_to_csc(jnp.asarray(BS.pack_w3(
-        np.asarray(gr_ref[1]) * np.asarray(mask), layout)), layout)
+    dU_masked = np.asarray(gr_ref[1]) * mask4
+    du_ref, _ = BS.v3_from_blocks(BS.gather_blocks_multi(
+        [jnp.asarray(dU_masked[g_ * H:(g_ + 1) * H]) for g_ in range(4)],
+        layout), layout, 4)
     np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(du_ref),
                                atol=1e-4)
 
