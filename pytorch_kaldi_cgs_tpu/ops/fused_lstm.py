@@ -471,8 +471,10 @@ def sparse_scan_fits_vmem(B: int, H: int, layout, G: int = 4) -> str:
     """Returns the resident w3g VMEM dtype ("f32"/"bf16") or "" when
     even bf16 overflows. Row-major packing has zero padding: bytes =
     nnz * G * bs^2 * dtype."""
+    import os
     work = 10 * B * H * 4 + 3 * B * 4 * H * 4
-    budget = 13 * 1024 * 1024
+    budget = int(os.environ.get("PKC_SPARSE_SCAN_VMEM_MB", "15")) \
+        * 1024 * 1024
     u_f32 = layout.nnz * G * layout.bs * layout.bs * 4
     if u_f32 + work < budget:
         return "f32"
