@@ -251,6 +251,10 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                         config["forward"]["require_decoding"].split(",")]
     if not is_production and config.has_section("decoding"):
         from ..decode.decode_dnn import decode_dnn, decode_dnn_sweep
+        # [exp] cmd: cluster-submission prefix (run.pl/queue.pl class,
+        # ref: run_exp.py:467-469) — decode jobs run as
+        #   <cmd> python -m ...bin.decode_cli <args>
+        cluster_cmd = config["exp"].get("cmd", "").strip()
         acwt = float(config["decoding"].get("acwt", 0.2))
         scoring_opts = config["decoding"].get("scoring_opts", "")
         m_min = re.search(r"--min-lmwt (\d+)", scoring_opts)
@@ -276,7 +280,24 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                 dec_dir = os.path.join(out_folder,
                                        "decode_%s_out_%s" % (fwd_data, fo))
                 try:
-                    if sweep:
+                    if cluster_cmd:
+                        import json as _json
+                        import shlex
+                        import subprocess
+                        import sys as _sys
+                        argv = [_sys.executable, "-m",
+                                "pytorch_kaldi_cgs_tpu.bin.decode_cli",
+                                dec_dir, ark_glob, graph_dir, text_file,
+                                "--acwt", str(acwt), "--beam", str(beam),
+                                "--max-active", str(max_active)]
+                        if sweep:
+                            argv += ["--min-lmwt", m_min.group(1),
+                                     "--max-lmwt", m_max.group(1)]
+                        proc = subprocess.run(
+                            shlex.split(cluster_cmd) + argv,
+                            capture_output=True, text=True, check=True)
+                        res = _json.loads(proc.stdout.strip().splitlines()[-1])
+                    elif sweep:
                         res = decode_dnn_sweep(
                             dec_dir, ark_glob, graph_dir, text_file,
                             min_lmwt=int(m_min.group(1)),
@@ -295,6 +316,14 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                 except (FileNotFoundError, ValueError) as e:
                     print("decoding skipped: %s" % e)
                     log("decoding skipped: %s" % e)
+                except Exception as e:
+                    if type(e).__name__ == "CalledProcessError":
+                        msg = "cluster decode failed: %s\n%s" % (
+                            e, getattr(e, "stderr", ""))
+                        print(msg)
+                        log(msg)
+                    else:
+                        raise
     res_file.close()
 
     # training curves + architecture diagram at completion

@@ -382,3 +382,21 @@ def test_async_checkpointer_orders_marker_after_saves(tmp_path):
     with pytest.raises(FileNotFoundError):
         ck.wait()
     ck.close()
+
+
+def test_cluster_cmd_hook_runs_decode_as_subprocess(synth_root, tmp_path):
+    """[exp] cmd prepends a scheduler prefix to the decode job
+    (ref: run_exp.py:467-469) — using `env` as a benign run.pl
+    stand-in, decoding must go through bin.decode_cli and still
+    produce the WER result."""
+    tmp, root = synth_root
+    out_folder = str(tmp_path / "exp_cmd")
+    cfg = make_synth_cfg(str(tmp_path / "cmd.cfg"), root, out_folder,
+                         model="MLP", hidden=32, n_epochs=1, n_chunks=1,
+                         batch_size=64, lr=0.05, cw=1, lmwt_sweep=False)
+    text = open(cfg).read().replace("cmd =", "cmd = env JAX_PLATFORMS=cpu")
+    open(cfg, "w").write(text)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    wer_key = [k for k in results if k.startswith("wer_")]
+    assert wer_key and 0 <= results[wer_key[0]] < 80.0
