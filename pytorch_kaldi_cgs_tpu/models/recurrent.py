@@ -320,8 +320,20 @@ class _RecurrentBase(AcousticModel):
         return outs
 
     def _fused_forced(self) -> bool:
-        return str(self.options.get("lstm_fused_scan", "")).strip() in (
-            "True", "true", "1")
+        return str(self.options.get(self.prefix + "_fused_scan",
+                                    "")).strip() in ("True", "true", "1")
+
+    def _fused_ok(self, use_ln, act_name, B, H, n_gates) -> bool:
+        """Generic fused-recurrence eligibility (liGRU/RNN family)."""
+        if not opt_bool(self.options, self.prefix + "_fused_scan", True):
+            return False
+        if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
+            return False
+        from ..ops.fused_rnn import fits_vmem as frnn_fits
+        if not frnn_fits(B, H, n_gates):
+            return False
+        return (jax.default_backend() in ("tpu", "axon") or
+                self._fused_forced())
 
     def _use_fused_scan(self, use_ln, act_name, B, H) -> bool:
         """Fused Pallas recurrence eligibility (LSTM only): supported
@@ -544,6 +556,16 @@ class liGRU(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        if self._fused_ok(use_ln, act_name, B, H, 2):
+            from ..ops.fused_rnn import ligru_scan_fused
+            qb = (self.spec.inp_quant[0]
+                  if (self.spec.quant and self.spec.quant_inp) else 0)
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            gates_t = jnp.concatenate(proj, axis=-1)
+            return ligru_scan_fused(gates_t.astype(jnp.float32),
+                                    U.astype(jnp.float32), drop_mask,
+                                    act=act_name, quant_bits=qb,
+                                    interpret=interpret)
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -601,6 +623,15 @@ class RNN(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        if self._fused_ok(use_ln, act_name, B, H, 1):
+            from ..ops.fused_rnn import rnn_scan_fused
+            qb = (self.spec.inp_quant[0]
+                  if (self.spec.quant and self.spec.quant_inp) else 0)
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            return rnn_scan_fused(proj[0].astype(jnp.float32),
+                                  U.astype(jnp.float32), drop_mask,
+                                  act=act_name, quant_bits=qb,
+                                  interpret=interpret)
         wh = proj[0]
         h0 = jnp.zeros((B, H), wh.dtype)
 

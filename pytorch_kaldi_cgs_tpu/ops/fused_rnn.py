@@ -1,0 +1,293 @@
+"""Fused Pallas recurrences for the liGRU and vanilla RNN cells —
+same design as ops.fused_lstm: the whole layer time-loop in ONE
+pallas_call with the recurrent weights VMEM-resident and h carried in
+VMEM scratch, plus a reverse-grid BPTT kernel emitting per-step gate
+cotangents (dU is one dense matmul over the unrolled batch outside).
+
+liGRU step (ref: neural_networks.py:1575-1583):
+    z  = sigmoid(gz + h @ Uz.T)
+    hc = act(gh + h @ Uh.T) * drop
+    h  = z * h + (1 - z) * hc
+RNN step (ref: neural_networks.py:1780-1931):
+    h  = act(g + h @ U.T) * drop
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .fused_lstm import _ACTS, _dact_from_pre, _q_input
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
+                     interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        hq = _q_input(h_ref[...], qbits)
+        u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = g_ref[0].astype(jnp.float32) + u         # (B, 2H): [h, z]
+        hc = actf(g[:, :H]) * drop_ref[...]
+        z = jax.nn.sigmoid(g[:, H:])
+        h = z * h_ref[...] + (1.0 - z) * hc
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, U, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * B * H * 2 * H,
+                bytes_accessed=(T * B * 2 * H + 2 * H * H
+                                + T * B * H) * 4,
+                transcendentals=T * B * H * 2),
+        )(gates_t, U, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ligru_bwd(T: int, B: int, H: int, act: str, qbits: int,
+                     interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = g_ref[0].astype(jnp.float32) + u
+        ac = g[:, :H]
+        hc = actf(ac) * drop_ref[...]
+        z = jax.nn.sigmoid(g[:, H:])
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - hc)
+        daz = dz * z * (1.0 - z)
+        dac = dh * (1.0 - z) * drop_ref[...] * _dact_from_pre(act, ac)
+        dg = jnp.concatenate([dac, daz], axis=1)      # (B, 2H)
+        dh_prev = dh * z + jax.lax.dot_general(
+            dg, u_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(gates_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 2 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
+                     drop_mask: jnp.ndarray, act: str = "relu",
+                     quant_bits: int = 0,
+                     interpret: bool = False) -> jnp.ndarray:
+    """hs = fused liGRU recurrence. gates_t: (T, B, 2H) ordered
+    [wh, wz]; U: (2H, H) stacked [Uh, Uz]. Differentiable w.r.t. both
+    (dU = dg^T @ q(h_prev) over the unrolled batch, outside the scan)."""
+    T, B, G2 = gates_t.shape
+    H = G2 // 2
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_ligru_fwd(T, B, H, act, quant_bits, interpret)
+    bwd = _build_ligru_bwd(T, B, H, act, quant_bits, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, U):
+        return fwd(gates_t, U, drop)
+
+    def _fwd_rule(gates_t, U):
+        hs = fwd(gates_t, U, drop)
+        return hs, (gates_t, U, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, U, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else h_prev.reshape(M, H)
+        dU = jnp.einsum("mg,mh->gh", dg.reshape(M, 2 * H), hq,
+                        preferred_element_type=jnp.float32)
+        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, U)
+
+
+# ---------------------------------------------------------------------------
+# vanilla RNN
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _build_rnn_fwd(T: int, B: int, H: int, act: str, qbits: int,
+                   interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        hq = _q_input(h_ref[...], qbits)
+        u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = actf(g_ref[0].astype(jnp.float32) + u) * drop_ref[...]
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, U, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_rnn_bwd(T: int, B: int, H: int, act: str, qbits: int,
+                   interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        a = g_ref[0].astype(jnp.float32) + u
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dg = dh * drop_ref[...] * _dact_from_pre(act, a)
+        dh_ref[...] = jax.lax.dot_general(
+            dg, u_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(gates_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def rnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
+                   drop_mask: jnp.ndarray, act: str = "tanh",
+                   quant_bits: int = 0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """hs = fused vanilla-RNN recurrence; gates_t: (T, B, H); U: (H, H)."""
+    T, B, H = gates_t.shape
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_rnn_fwd(T, B, H, act, quant_bits, interpret)
+    bwd = _build_rnn_bwd(T, B, H, act, quant_bits, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, U):
+        return fwd(gates_t, U, drop)
+
+    def _fwd_rule(gates_t, U):
+        hs = fwd(gates_t, U, drop)
+        return hs, (gates_t, U, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, U, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else h_prev.reshape(M, H)
+        dU = jnp.einsum("mg,mh->gh", dg.reshape(M, H), hq,
+                        preferred_element_type=jnp.float32)
+        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, U)
+
+
+def fits_vmem(B: int, H: int, n_gates: int) -> bool:
+    weights = n_gates * H * H * 4
+    work = 6 * B * H * 4 + 3 * B * n_gates * H * 4
+    return weights + work < 12 * 1024 * 1024

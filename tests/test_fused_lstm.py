@@ -177,3 +177,49 @@ def test_model_sparse_recurrence_matches_dense():
         if k.startswith("u"):
             np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                        atol=1e-4)
+
+
+def test_fused_ligru_and_rnn_match_scan():
+    """liGRU/RNN fused recurrences == the lax.scan model paths,
+    forward and grads, through the full models (forced on CPU)."""
+    from pytorch_kaldi_cgs_tpu.models.recurrent import RNN, liGRU
+
+    for cls, prefix, act in ((liGRU, "ligru", "relu"), (RNN, "rnn", "tanh")):
+        opts = {prefix + "_lay": "32,32", prefix + "_drop": "0.1,0.1",
+                prefix + "_use_batchnorm": "True,True",
+                prefix + "_use_laynorm": "False,False",
+                prefix + "_use_laynorm_inp": "False",
+                prefix + "_use_batchnorm_inp": "False",
+                prefix + "_act": "%s,%s" % (act, act),
+                prefix + "_orthinit": "True", prefix + "_bidir": "False",
+                "to_do": "train", prefix + "_hcgs": "False",
+                "hcgsx_block": "8,2", "hcgsh_block": "8,2",
+                "hcgsx_sparse": "25,50", "hcgsh_sparse": "25,50",
+                prefix + "_quant": "False", "param_quant": "8,8",
+                prefix + "_quant_inp": "False", "inp_quant": "16",
+                prefix + "_prune": "False", prefix + "_prune_perc": "0",
+                "skip_regularization": "True", "guided_hcgs": "False",
+                "apply_guided_hcgs": "False", "arch_name": "t",
+                "scan_unroll": "1"}
+        x = np.random.RandomState(0).randn(15, 4, 12).astype(np.float32)
+        m_plain = cls(dict(opts, **{prefix + "_fused_scan": "False"}), 12)
+        m_fused = cls(dict(opts, **{prefix + "_fused_scan": "True"}), 12)
+        v = m_plain.init(0)
+        key = jax.random.PRNGKey(5)
+        y1, _ = m_plain.apply(v, x, train=True, rng=key)
+        y2, _ = m_fused.apply(v, x, train=True, rng=key)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   atol=1e-5, err_msg=prefix)
+
+        def loss(v_, m):
+            y, _ = m.apply(v_, x, train=True, rng=key)
+            return jnp.sum(y * y)
+        g1 = jax.tree_util.tree_leaves(
+            jax.grad(lambda v_: loss(v_, m_plain))(v))
+        g2 = jax.tree_util.tree_leaves(
+            jax.grad(lambda v_: loss(v_, m_fused))(v))
+        for a, b in zip(g1, g2):
+            # grads reach O(40); accumulation order differs between the
+            # kernel and the scan -> relative tolerance
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-3, err_msg=prefix)
