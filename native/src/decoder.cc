@@ -6,7 +6,6 @@
 #include <cstring>
 #include <limits>
 #include <string>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -130,53 +129,77 @@ struct Token {
   int64_t trace;  // index into arena, -1 = none
 };
 
-using TokenMap = std::unordered_map<int32_t, Token>;
+// Flat per-state token store with epoch stamping. The per-frame
+// unordered_map was the decode bottleneck (every arc relaxation paid a
+// hash + probe + possible rehash); here insert/lookup is one array read
+// against a stamp, and "clearing" the frame is an epoch bump.
+struct ActiveToks {
+  std::vector<Token> tok;
+  std::vector<uint32_t> stamp;   // tok[s] valid iff stamp[s] == epoch
+  std::vector<int32_t> list;     // unique states stamped this epoch
+  uint32_t epoch = 0;
+
+  void Init(int64_t num_states) {
+    tok.resize(num_states);
+    stamp.assign(num_states, 0);
+    epoch = 0;
+    list.clear();
+  }
+  void Clear() {
+    list.clear();
+    if (++epoch == 0) {  // wrapped: invalidate all stamps
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+  }
+  bool Has(int32_t s) const { return stamp[s] == epoch; }
+};
 
 // Epsilon-closure propagation within the current frame.
-void PropagateEpsilon(const PkcFst* fst, TokenMap* toks,
+void PropagateEpsilon(const PkcFst* fst, ActiveToks* toks,
                       std::vector<Trace>* arena, double cutoff,
                       int32_t frame) {
   // simple work-list; WFST graphs after composition are mostly eps-free,
   // phone-loop graphs have a handful of eps arcs.
-  std::vector<int32_t> work;
-  work.reserve(toks->size());
-  for (auto& kv : *toks) work.push_back(kv.first);
+  std::vector<int32_t> work(toks->list);
   while (!work.empty()) {
     int32_t s = work.back();
     work.pop_back();
-    auto it = toks->find(s);
-    if (it == toks->end()) continue;
-    const Token tok = it->second;
+    const Token tok = toks->tok[s];
     if (tok.cost > cutoff) continue;
     for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
       const Arc& arc = fst->arcs[a];
       if (arc.ilabel != 0) continue;
       double nc = tok.cost + arc.cost;
       if (nc > cutoff) continue;
-      auto dit = toks->find(arc.dst);
-      if (dit == toks->end() || nc < dit->second.cost) {
+      const bool fresh = !toks->Has(arc.dst);
+      if (fresh || nc < toks->tok[arc.dst].cost) {
         int64_t tr = tok.trace;
         if (arc.olabel != 0) {
           arena->push_back(Trace{tok.trace, arc.olabel, frame});
           tr = (int64_t)arena->size() - 1;
         }
-        (*toks)[arc.dst] = Token{nc, tr};
+        if (fresh) {
+          toks->stamp[arc.dst] = toks->epoch;
+          toks->list.push_back(arc.dst);
+        }
+        toks->tok[arc.dst] = Token{nc, tr};
         work.push_back(arc.dst);
       }
     }
   }
 }
 
-double AdaptiveCutoff(const TokenMap& toks, double beam, int64_t max_active,
-                      double* best_out) {
+double AdaptiveCutoff(const ActiveToks& toks, double beam,
+                      int64_t max_active, double* best_out) {
   double best = kInf;
-  for (auto& kv : toks) best = std::min(best, kv.second.cost);
+  for (int32_t s : toks.list) best = std::min(best, toks.tok[s].cost);
   *best_out = best;
   double cutoff = best + beam;
-  if (max_active > 0 && (int64_t)toks.size() > max_active) {
+  if (max_active > 0 && (int64_t)toks.list.size() > max_active) {
     std::vector<double> costs;
-    costs.reserve(toks.size());
-    for (auto& kv : toks) costs.push_back(kv.second.cost);
+    costs.reserve(toks.list.size());
+    for (int32_t s : toks.list) costs.push_back(toks.tok[s].cost);
     std::nth_element(costs.begin(), costs.begin() + max_active - 1,
                      costs.end());
     cutoff = std::min(cutoff, costs[max_active - 1]);
@@ -190,23 +213,27 @@ int64_t pkc_decode_ctm(const PkcFst* fst, const float* loglikes, int64_t T,
                        int64_t S, double beam, int64_t max_active, double acwt,
                        int32_t* out_labels, int32_t* out_frames,
                        int64_t max_out) {
+  const int64_t NS = (int64_t)fst->final_cost.size();
   std::vector<Trace> arena;
   arena.reserve(4096);
-  TokenMap cur;
-  cur[fst->start] = Token{0.0, -1};
+  ActiveToks cur, next;
+  cur.Init(NS);
+  next.Init(NS);
+  cur.Clear();
+  cur.stamp[fst->start] = cur.epoch;
+  cur.list.push_back(fst->start);
+  cur.tok[fst->start] = Token{0.0, -1};
   PropagateEpsilon(fst, &cur, &arena, kInf, 0);
 
   for (int64_t t = 0; t < T; ++t) {
     double best;
     double cutoff = AdaptiveCutoff(cur, beam, max_active, &best);
-    TokenMap next;
-    next.reserve(cur.size() * 2);
+    next.Clear();
     const float* frame = loglikes + t * S;
     double next_best = kInf;
-    for (auto& kv : cur) {
-      if (kv.second.cost > cutoff) continue;
-      const int32_t s = kv.first;
-      const Token& tok = kv.second;
+    for (int32_t s : cur.list) {
+      const Token tok = cur.tok[s];
+      if (tok.cost > cutoff) continue;
       for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
         const Arc& arc = fst->arcs[a];
         if (arc.ilabel == 0) continue;
@@ -214,47 +241,51 @@ int64_t pkc_decode_ctm(const PkcFst* fst, const float* loglikes, int64_t T,
         if (pdf >= S) continue;
         double nc = tok.cost + arc.cost - acwt * (double)frame[pdf];
         if (nc > next_best + beam) continue;
-        auto dit = next.find(arc.dst);
-        if (dit == next.end() || nc < dit->second.cost) {
+        const bool fresh = !next.Has(arc.dst);
+        if (fresh || nc < next.tok[arc.dst].cost) {
           int64_t tr = tok.trace;
           if (arc.olabel != 0) {
             arena.push_back(Trace{tok.trace, arc.olabel,
                                   static_cast<int32_t>(t)});
             tr = (int64_t)arena.size() - 1;
           }
-          next[arc.dst] = Token{nc, tr};
+          if (fresh) {
+            next.stamp[arc.dst] = next.epoch;
+            next.list.push_back(arc.dst);
+          }
+          next.tok[arc.dst] = Token{nc, tr};
           next_best = std::min(next_best, nc);
         }
       }
     }
-    if (next.empty()) return -1;  // decode failed (over-pruned)
+    if (next.list.empty()) return -1;  // decode failed (over-pruned)
     double nb;
     double eps_cutoff = AdaptiveCutoff(next, beam, max_active, &nb);
     PropagateEpsilon(fst, &next, &arena, eps_cutoff,
                      static_cast<int32_t>(t));
-    cur.swap(next);
+    std::swap(cur, next);
   }
 
   // pick the best final token (fall back to best token if none final)
   double best_cost = kInf;
   int64_t best_trace = -1;
   bool any_final = false;
-  for (auto& kv : cur) {
-    double fc = fst->final_cost[kv.first];
+  for (int32_t s : cur.list) {
+    double fc = fst->final_cost[s];
     if (fc != kInf) {
       any_final = true;
-      double c = kv.second.cost + fc;
+      double c = cur.tok[s].cost + fc;
       if (c < best_cost) {
         best_cost = c;
-        best_trace = kv.second.trace;
+        best_trace = cur.tok[s].trace;
       }
     }
   }
   if (!any_final) {
-    for (auto& kv : cur) {
-      if (kv.second.cost < best_cost) {
-        best_cost = kv.second.cost;
-        best_trace = kv.second.trace;
+    for (int32_t s : cur.list) {
+      if (cur.tok[s].cost < best_cost) {
+        best_cost = cur.tok[s].cost;
+        best_trace = cur.tok[s].trace;
       }
     }
   }

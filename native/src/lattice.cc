@@ -9,7 +9,6 @@
 #include <cmath>
 #include <cstdint>
 #include <limits>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -58,32 +57,59 @@ struct PkcLattice {
 
 namespace {
 
-struct Tok {
-  double cost;
-  int32_t node;
+// Flat per-(frame,state) set with epoch stamping — replaces the two
+// unordered_maps (token costs + state->lattice-node) that dominated the
+// lattice-decode profile. cost == kInf marks "node exists but its token
+// was beam-pruned" (matching the old erase-after-cutoff behavior: the
+// node and its incoming arcs stay, backward pruning removes them).
+struct FrameSet {
+  std::vector<uint32_t> stamp;
+  std::vector<int32_t> node;   // lattice node id, valid iff stamped
+  std::vector<double> cost;    // token cost, kInf = no live token
+  std::vector<int32_t> list;   // unique states stamped this epoch
+  uint32_t epoch = 0;
+
+  void Init(int64_t num_states) {
+    stamp.assign(num_states, 0);
+    node.resize(num_states);
+    cost.resize(num_states);
+    epoch = 0;
+    list.clear();
+  }
+  void Clear() {
+    list.clear();
+    if (++epoch == 0) {
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+  }
+  bool Has(int32_t s) const { return stamp[s] == epoch; }
+  int32_t GetNode(PkcLattice* lat, int32_t frame, int32_t s) {
+    if (!Has(s)) {
+      stamp[s] = epoch;
+      node[s] = (int32_t)lat->nodes.size();
+      cost[s] = kInf;
+      lat->nodes.push_back(LatNode{frame, s});
+      list.push_back(s);
+    }
+    return node[s];
+  }
 };
 
-using TokMap = std::unordered_map<int32_t, Tok>;
-
-int32_t GetNode(PkcLattice* lat, TokMap* toks,
-                std::unordered_map<int32_t, int32_t>* frame_nodes,
-                int32_t frame, int32_t state) {
-  auto it = frame_nodes->find(state);
-  if (it != frame_nodes->end()) return it->second;
-  lat->nodes.push_back(LatNode{frame, state});
-  int32_t id = (int32_t)lat->nodes.size() - 1;
-  (*frame_nodes)[state] = id;
-  return id;
-}
-
-double Cutoff(const TokMap& toks, double beam, int64_t max_active) {
+double Cutoff(const FrameSet& toks, double beam, int64_t max_active) {
   double best = kInf;
-  for (auto& kv : toks) best = std::min(best, kv.second.cost);
+  int64_t n_live = 0;
+  for (int32_t s : toks.list) {
+    if (toks.cost[s] == kInf) continue;
+    best = std::min(best, toks.cost[s]);
+    n_live++;
+  }
   double cutoff = best + beam;
-  if (max_active > 0 && (int64_t)toks.size() > max_active) {
+  if (max_active > 0 && n_live > max_active) {
     std::vector<double> costs;
-    costs.reserve(toks.size());
-    for (auto& kv : toks) costs.push_back(kv.second.cost);
+    costs.reserve(n_live);
+    for (int32_t s : toks.list)
+      if (toks.cost[s] != kInf) costs.push_back(toks.cost[s]);
     std::nth_element(costs.begin(), costs.begin() + max_active - 1,
                      costs.end());
     cutoff = std::min(cutoff, costs[max_active - 1]);
@@ -92,28 +118,27 @@ double Cutoff(const TokMap& toks, double beam, int64_t max_active) {
 }
 
 // epsilon closure inside one frame: lattice arcs with 0 acoustic cost
-void EpsClosure(const PkcFst* fst, PkcLattice* lat, TokMap* toks,
-                std::unordered_map<int32_t, int32_t>* frame_nodes,
+void EpsClosure(const PkcFst* fst, PkcLattice* lat, FrameSet* toks,
                 int32_t frame, double cutoff) {
   std::vector<int32_t> work;
-  for (auto& kv : *toks) work.push_back(kv.first);
+  for (int32_t s : toks->list)
+    if (toks->cost[s] != kInf) work.push_back(s);
   while (!work.empty()) {
     int32_t s = work.back();
     work.pop_back();
-    auto it = toks->find(s);
-    if (it == toks->end() || it->second.cost > cutoff) continue;
-    const Tok tok = it->second;
+    const double tok_cost = toks->cost[s];
+    if (tok_cost > cutoff) continue;
+    const int32_t tok_node = toks->node[s];
     for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
       const Arc& arc = fst->arcs[a];
       if (arc.ilabel != 0) continue;
-      double nc = tok.cost + arc.cost;
+      double nc = tok_cost + arc.cost;
       if (nc > cutoff) continue;
-      int32_t dnode = GetNode(lat, toks, frame_nodes, frame, arc.dst);
-      lat->arcs.push_back(LatArc{tok.node, dnode, 0, arc.olabel,
+      int32_t dnode = toks->GetNode(lat, frame, arc.dst);
+      lat->arcs.push_back(LatArc{tok_node, dnode, 0, arc.olabel,
                                  arc.cost, 0.0f});
-      auto dit = toks->find(arc.dst);
-      if (dit == toks->end() || nc < dit->second.cost) {
-        (*toks)[arc.dst] = Tok{nc, dnode};
+      if (nc < toks->cost[arc.dst]) {
+        toks->cost[arc.dst] = nc;
         work.push_back(arc.dst);
       }
     }
@@ -129,63 +154,66 @@ PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
                                double lat_beam, int64_t max_active,
                                double acwt) {
   auto* lat = new PkcLattice();
-  TokMap cur;
-  std::unordered_map<int32_t, int32_t> cur_nodes;
+  const int64_t NS = (int64_t)fst->final_cost.size();
+  FrameSet cur, next;
+  cur.Init(NS);
+  next.Init(NS);
+  cur.Clear();
   lat->nodes.push_back(LatNode{-1, fst->start});
   lat->start_node = 0;
-  cur_nodes[fst->start] = 0;
-  cur[fst->start] = Tok{0.0, 0};
-  EpsClosure(fst, lat, &cur, &cur_nodes, -1, kInf);
+  cur.stamp[fst->start] = cur.epoch;
+  cur.node[fst->start] = 0;
+  cur.cost[fst->start] = 0.0;
+  cur.list.push_back(fst->start);
+  EpsClosure(fst, lat, &cur, -1, kInf);
 
   for (int64_t t = 0; t < T; ++t) {
     double cutoff = Cutoff(cur, beam, max_active);
-    TokMap next;
-    std::unordered_map<int32_t, int32_t> next_nodes;
+    next.Clear();
     const float* frame = loglikes + t * S;
-    for (auto& kv : cur) {
-      if (kv.second.cost > cutoff) continue;
-      const int32_t s = kv.first;
-      const Tok& tok = kv.second;
+    for (int32_t s : cur.list) {
+      const double tok_cost = cur.cost[s];
+      if (tok_cost > cutoff) continue;
+      const int32_t tok_node = cur.node[s];
       for (int64_t a = fst->arc_offset[s]; a < fst->arc_offset[s + 1]; ++a) {
         const Arc& arc = fst->arcs[a];
         if (arc.ilabel == 0) continue;
         const int32_t pdf = arc.ilabel - 1;
         if (pdf >= S) continue;
         const double ac = -acwt * (double)frame[pdf];
-        double nc = tok.cost + arc.cost + ac;
+        double nc = tok_cost + arc.cost + ac;
         if (nc > cutoff + beam) continue;  // loose pre-prune
-        int32_t dnode = GetNode(lat, &next, &next_nodes, (int32_t)t, arc.dst);
-        lat->arcs.push_back(LatArc{tok.node, dnode, arc.ilabel, arc.olabel,
+        int32_t dnode = next.GetNode(lat, (int32_t)t, arc.dst);
+        lat->arcs.push_back(LatArc{tok_node, dnode, arc.ilabel, arc.olabel,
                                    arc.cost, (float)ac});
-        auto dit = next.find(arc.dst);
-        if (dit == next.end() || nc < dit->second.cost)
-          next[arc.dst] = Tok{nc, dnode};
+        if (nc < next.cost[arc.dst]) next.cost[arc.dst] = nc;
       }
     }
-    if (next.empty()) {
+    if (next.list.empty()) {
       delete lat;
       return nullptr;
     }
     double ncut = Cutoff(next, beam, max_active);
     // drop over-beam tokens (their arcs remain; backward prune removes them)
-    for (auto it = next.begin(); it != next.end();)
-      it = (it->second.cost > ncut) ? next.erase(it) : std::next(it);
-    EpsClosure(fst, lat, &next, &next_nodes, (int32_t)t, ncut);
-    cur.swap(next);
-    cur_nodes.swap(next_nodes);
+    for (int32_t s : next.list)
+      if (next.cost[s] > ncut) next.cost[s] = kInf;
+    EpsClosure(fst, lat, &next, (int32_t)t, ncut);
+    std::swap(cur, next);
   }
 
-  // final costs
+  // final costs (only states whose token survived the last beam)
   bool any_final = false;
-  for (auto& kv : cur) {
-    double fc = fst->final_cost[kv.first];
+  for (int32_t s : cur.list) {
+    if (cur.cost[s] == kInf) continue;
+    double fc = fst->final_cost[s];
     if (fc != kInf) {
-      lat->nodes[kv.second.node].final_cost = fc;
+      lat->nodes[cur.node[s]].final_cost = fc;
       any_final = true;
     }
   }
   if (!any_final)
-    for (auto& kv : cur) lat->nodes[kv.second.node].final_cost = 0.0;
+    for (int32_t s : cur.list)
+      if (cur.cost[s] != kInf) lat->nodes[cur.node[s]].final_cost = 0.0;
 
   // ---- forward/backward pruning at lat_beam (nodes are created in
   // topological order: frame increases monotonically, eps arcs go to
