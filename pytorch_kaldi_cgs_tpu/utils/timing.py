@@ -103,7 +103,11 @@ def device_loop_time(body: Callable, init, n_lo: int = 10, n_hi: int = 110,
     leaf = lambda c: jax.tree_util.tree_leaves(c)[0]
     sync_value(leaf(loop(init, n_lo)))
     sync_value(leaf(loop(init, n_hi)))
-    best = None
+    # min each window size INDEPENDENTLY before differencing: contention
+    # only ever adds time, but min over paired (t_hi - t_lo) lets an
+    # inflated t_lo pair with a clean t_hi and under-estimate (measured
+    # "above physical peak" calibrations came from exactly this).
+    t_lo_best, t_hi_best = None, None
     for _ in range(repeats):
         t0 = time.perf_counter()
         sync_value(leaf(loop(init, n_lo)))
@@ -111,9 +115,9 @@ def device_loop_time(body: Callable, init, n_lo: int = 10, n_hi: int = 110,
         t0 = time.perf_counter()
         sync_value(leaf(loop(init, n_hi)))
         t_hi = time.perf_counter() - t0
-        est = (t_hi - t_lo) / (n_hi - n_lo)
-        best = est if best is None else min(best, est)
-    return max(best, 1e-9)
+        t_lo_best = t_lo if t_lo_best is None else min(t_lo_best, t_lo)
+        t_hi_best = t_hi if t_hi_best is None else min(t_hi_best, t_hi)
+    return max((t_hi_best - t_lo_best) / (n_hi - n_lo), 1e-9)
 
 
 def matmul_calibration(n: int = 2048, dtype=jnp.bfloat16) -> float:
