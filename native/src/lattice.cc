@@ -53,6 +53,9 @@ struct PkcLattice {
   std::vector<LatNode> nodes;
   std::vector<LatArc> arcs;
   int32_t start_node = 0;
+  // when true, arcs are stored in topological order (see BuildArcTopo):
+  // best_path / ctm_conf sweeps are single linear passes.
+  bool topo_ok = false;
 };
 
 namespace {
@@ -145,6 +148,147 @@ void EpsClosure(const PkcFst* fst, PkcLattice* lat, FrameSet* toks,
   }
 }
 
+// -log(exp(-a) + exp(-b)) in the neglog semiring
+double NegLogAdd(double a, double b) {
+  if (a == kInf) return b;
+  if (b == kInf) return a;
+  double m = std::min(a, b);
+  return m - std::log1p(std::exp(-(std::max(a, b) - m)));
+}
+
+// Kahn topological order over lattice nodes; falls back to creation
+// order (*ok = false) if a cycle sneaks in (eps self-structures).
+std::vector<int32_t> TopoOrder(const PkcLattice* lat, bool* ok) {
+  const int64_t N = (int64_t)lat->nodes.size();
+  std::vector<int32_t> indeg(N, 0);
+  std::vector<std::vector<int32_t>> out(N);
+  for (size_t i = 0; i < lat->arcs.size(); ++i) {
+    indeg[lat->arcs[i].to]++;
+    out[lat->arcs[i].from].push_back((int32_t)i);
+  }
+  std::vector<int32_t> order;
+  order.reserve(N);
+  std::vector<int32_t> stack;
+  for (int64_t i = 0; i < N; ++i)
+    if (indeg[i] == 0) stack.push_back((int32_t)i);
+  while (!stack.empty()) {
+    int32_t n = stack.back();
+    stack.pop_back();
+    order.push_back(n);
+    for (int32_t ai : out[n]) {
+      if (--indeg[lat->arcs[ai].to] == 0)
+        stack.push_back(lat->arcs[ai].to);
+    }
+  }
+  *ok = (int64_t)order.size() == N;
+  if (!*ok) {  // cycle: creation order fallback
+    order.resize(N);
+    for (int64_t i = 0; i < N; ++i) order[i] = (int32_t)i;
+  }
+  return order;
+}
+
+// Physically reorder lat->arcs into topological order (by source-node
+// position) so best-path / forward-backward sweeps are single LINEAR
+// passes — indirecting through an index array cost ~4x in cache misses
+// on million-arc lattices.
+void BuildArcTopo(PkcLattice* lat) {
+  bool ok = false;
+  std::vector<int32_t> order = TopoOrder(lat, &ok);
+  lat->topo_ok = ok;
+  if (!ok) return;  // keep creation order; sweeps fall back to fixpoint
+  const int64_t N = (int64_t)lat->nodes.size();
+  std::vector<int32_t> pos(N);
+  for (int64_t i = 0; i < N; ++i) pos[order[i]] = (int32_t)i;
+  // counting sort by pos[from]: O(arcs + nodes), stable
+  std::vector<int32_t> cnt(N + 1, 0);
+  for (const auto& a : lat->arcs) cnt[pos[a.from] + 1]++;
+  for (int64_t i = 0; i < N; ++i) cnt[i + 1] += cnt[i];
+  std::vector<LatArc> sorted(lat->arcs.size());
+  for (const auto& a : lat->arcs) sorted[cnt[pos[a.from]]++] = a;
+  lat->arcs.swap(sorted);
+}
+
+// Periodic in-decode lattice pruning (latgen-faster's prune_interval
+// role): backward costs seeded 0 at the live frontier tokens, forward
+// costs from the start node, drop every arc not on a path within
+// lat_beam of the frontier best, compact, and remap the frontier's
+// node ids. Without this the raw lattice grows O(T * beam-width) arcs
+// and the final prune dominates decode time.
+double PrunePartial(PkcLattice* lat, FrameSet* cur, double lat_beam) {
+  const int64_t N = (int64_t)lat->nodes.size();
+  const double arcs_before = (double)lat->arcs.size();
+  std::vector<double> fwd(N, kInf), bwd(N, kInf);
+  fwd[lat->start_node] = 0.0;
+  double frontier_best = kInf;
+  for (int32_t s : cur->list) {
+    if (cur->cost[s] == kInf) continue;
+    bwd[cur->node[s]] = 0.0;
+    frontier_best = std::min(frontier_best, cur->cost[s]);
+  }
+  if (frontier_best == kInf) return 1.0;
+  // arc creation order is near-topological: relax to fixpoint
+  for (int pass = 0; pass < 16; ++pass) {
+    bool changed = false;
+    for (auto& a : lat->arcs) {
+      double c = fwd[a.from] + a.graph_cost + a.acoustic_cost;
+      if (c < fwd[a.to]) {
+        fwd[a.to] = c;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+  for (int pass = 0; pass < 16; ++pass) {
+    bool changed = false;
+    for (int64_t i = (int64_t)lat->arcs.size() - 1; i >= 0; --i) {
+      const LatArc& a = lat->arcs[i];
+      double c = bwd[a.to] + a.graph_cost + a.acoustic_cost;
+      if (c < bwd[a.from]) {
+        bwd[a.from] = c;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+  const double keep = frontier_best + lat_beam;
+  std::vector<int32_t> remap(N, -1);
+  std::vector<LatNode> knodes;
+  std::vector<LatArc> kept;
+  kept.reserve(lat->arcs.size() / 2);
+  auto keep_node = [&](int32_t id) {
+    if (remap[id] < 0) {
+      remap[id] = (int32_t)knodes.size();
+      knodes.push_back(lat->nodes[id]);
+    }
+    return remap[id];
+  };
+  keep_node(lat->start_node);
+  for (auto& a : lat->arcs) {
+    double through =
+        fwd[a.from] + a.graph_cost + a.acoustic_cost + bwd[a.to];
+    if (through <= keep)
+      kept.push_back(LatArc{keep_node(a.from), keep_node(a.to), a.ilabel,
+                            a.olabel, a.graph_cost, a.acoustic_cost});
+  }
+  lat->arcs.swap(kept);
+  lat->nodes.swap(knodes);
+  lat->start_node = remap[lat->start_node];
+  // remap frontier tokens; tokens whose node fell outside lat_beam die
+  // (token cost == fwd[node], so a live in-beam token is always kept)
+  for (int32_t s : cur->list) {
+    if (cur->cost[s] == kInf) continue;
+    int32_t nn = remap[cur->node[s]];
+    if (nn < 0)
+      cur->cost[s] = kInf;
+    else
+      cur->node[s] = nn;
+  }
+  return arcs_before > 0 ? (double)lat->arcs.size() / arcs_before : 1.0;
+}
+
+constexpr int64_t kPruneInterval = 25;
+
 }  // namespace
 
 extern "C" {
@@ -166,11 +310,17 @@ PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
   cur.cost[fst->start] = 0.0;
   cur.list.push_back(fst->start);
   EpsClosure(fst, lat, &cur, -1, kInf);
+  bool prune_on = true;
 
   for (int64_t t = 0; t < T; ++t) {
     double cutoff = Cutoff(cur, beam, max_active);
     next.Clear();
     const float* frame = loglikes + t * S;
+    double next_best = kInf;  // running best this frame: arcs landing
+                              // beyond next_best + beam cannot carry a
+                              // surviving token (they'd be erased at the
+                              // post-frame cutoff) nor sit on a kept path
+                              // (lat_beam <= beam)
     for (int32_t s : cur.list) {
       const double tok_cost = cur.cost[s];
       if (tok_cost > cutoff) continue;
@@ -182,7 +332,8 @@ PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
         if (pdf >= S) continue;
         const double ac = -acwt * (double)frame[pdf];
         double nc = tok_cost + arc.cost + ac;
-        if (nc > cutoff + beam) continue;  // loose pre-prune
+        if (nc > next_best + beam) continue;
+        next_best = std::min(next_best, nc);
         int32_t dnode = next.GetNode(lat, (int32_t)t, arc.dst);
         lat->arcs.push_back(LatArc{tok_node, dnode, arc.ilabel, arc.olabel,
                                    arc.cost, (float)ac});
@@ -199,6 +350,12 @@ PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
       if (next.cost[s] > ncut) next.cost[s] = kInf;
     EpsClosure(fst, lat, &next, (int32_t)t, ncut);
     std::swap(cur, next);
+    // adaptive: stop pruning if a pass keeps >75% of arcs — the lattice
+    // is inherently dense (everything within lat_beam) and the O(arcs)
+    // fixpoint costs more than it saves
+    if (prune_on && (t + 1) % kPruneInterval == 0) {
+      if (PrunePartial(lat, &cur, lat_beam) > 0.75) prune_on = false;
+    }
   }
 
   // final costs (only states whose token survived the last beam)
@@ -277,6 +434,7 @@ PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
   lat->arcs.swap(kept);
   lat->nodes.swap(knodes);
   lat->start_node = 0;
+  BuildArcTopo(lat);  // rescoring sweeps become single-pass
   return lat;
 }
 
@@ -313,43 +471,32 @@ void pkc_lattice_arcs(const PkcLattice* lat, int32_t* from, int32_t* to,
 
 namespace {
 
-// -log(exp(-a) + exp(-b)) in the neglog semiring
-double NegLogAdd(double a, double b) {
-  if (a == kInf) return b;
-  if (b == kInf) return a;
-  double m = std::min(a, b);
-  return m - std::log1p(std::exp(-(std::max(a, b) - m)));
-}
-
-// Kahn topological order over lattice nodes; falls back to creation
-// order if a cycle sneaks in (eps self-structures).
-std::vector<int32_t> TopoOrder(const PkcLattice* lat) {
+// Tropical best path with arc backpointers: single pass in topo order
+// when available, relax-to-fixpoint fallback otherwise.
+void BestPathCosts(const PkcLattice* lat, double ac_scale,
+                   std::vector<double>* best, std::vector<int64_t>* barc) {
   const int64_t N = (int64_t)lat->nodes.size();
-  std::vector<int32_t> indeg(N, 0);
-  std::vector<std::vector<int32_t>> out(N);
-  for (size_t i = 0; i < lat->arcs.size(); ++i) {
-    indeg[lat->arcs[i].to]++;
-    out[lat->arcs[i].from].push_back((int32_t)i);
-  }
-  std::vector<int32_t> order;
-  order.reserve(N);
-  std::vector<int32_t> stack;
-  for (int64_t i = 0; i < N; ++i)
-    if (indeg[i] == 0) stack.push_back((int32_t)i);
-  while (!stack.empty()) {
-    int32_t n = stack.back();
-    stack.pop_back();
-    order.push_back(n);
-    for (int32_t ai : out[n]) {
-      if (--indeg[lat->arcs[ai].to] == 0)
-        stack.push_back(lat->arcs[ai].to);
+  best->assign(N, kInf);
+  barc->assign(N, -1);
+  (*best)[lat->start_node] = 0.0;
+  auto relax = [&](int64_t i) {
+    const LatArc& a = lat->arcs[i];
+    double c = (*best)[a.from] + (double)a.graph_cost +
+               ac_scale * (double)a.acoustic_cost;
+    if (c < (*best)[a.to]) {
+      (*best)[a.to] = c;
+      (*barc)[a.to] = i;
+      return true;
     }
+    return false;
+  };
+  const int passes = lat->topo_ok ? 1 : 16;
+  for (int pass = 0; pass < passes; ++pass) {
+    bool changed = false;
+    for (size_t i = 0; i < lat->arcs.size(); ++i)
+      if (relax((int64_t)i)) changed = true;
+    if (!changed) break;
   }
-  if ((int64_t)order.size() != N) {   // cycle: creation order fallback
-    order.resize(N);
-    for (int64_t i = 0; i < N; ++i) order[i] = (int32_t)i;
-  }
-  return order;
 }
 
 }  // namespace
@@ -361,31 +508,21 @@ int64_t pkc_lattice_ctm_conf(const PkcLattice* lat, double ac_scale,
   // log-sum forward/backward over the whole lattice — the
   // lattice-to-ctm-conf role (ref: local/score.sh:55-60).
   const int64_t N = (int64_t)lat->nodes.size();
-  std::vector<int32_t> order = TopoOrder(lat);
-  std::vector<int32_t> pos(N);
-  for (int64_t i = 0; i < N; ++i) pos[order[i]] = (int32_t)i;
-  // arcs sorted by topological position of their source
-  std::vector<int32_t> arc_order(lat->arcs.size());
-  for (size_t i = 0; i < lat->arcs.size(); ++i) arc_order[i] = (int32_t)i;
-  std::sort(arc_order.begin(), arc_order.end(),
-            [&](int32_t x, int32_t y) {
-              return pos[lat->arcs[x].from] < pos[lat->arcs[y].from];
-            });
-
+  // arcs are in topological order after BuildArcTopo (or creation order
+  // — near-topological — when a cycle forced the fallback, matching the
+  // approximation the pre-reorder implementation used)
   auto arc_cost = [&](const LatArc& a) {
     return (double)a.graph_cost + ac_scale * (double)a.acoustic_cost;
   };
 
   std::vector<double> alpha(N, kInf), beta(N, kInf);
   alpha[lat->start_node] = 0.0;
-  for (int32_t ai : arc_order) {
-    const LatArc& a = lat->arcs[ai];
+  for (const LatArc& a : lat->arcs)
     alpha[a.to] = NegLogAdd(alpha[a.to], alpha[a.from] + arc_cost(a));
-  }
   for (int64_t i = 0; i < N; ++i)
     if (lat->nodes[i].final_cost != kInf) beta[i] = lat->nodes[i].final_cost;
-  for (int64_t k = (int64_t)arc_order.size() - 1; k >= 0; --k) {
-    const LatArc& a = lat->arcs[arc_order[k]];
+  for (int64_t k = (int64_t)lat->arcs.size() - 1; k >= 0; --k) {
+    const LatArc& a = lat->arcs[k];
     beta[a.from] = NegLogAdd(beta[a.from], beta[a.to] + arc_cost(a));
   }
   double logZ = kInf;
@@ -394,23 +531,9 @@ int64_t pkc_lattice_ctm_conf(const PkcLattice* lat, double ac_scale,
       logZ = NegLogAdd(logZ, alpha[i] + lat->nodes[i].final_cost);
   if (logZ == kInf) return -1;
 
-  // tropical best path with arc backpointers
-  std::vector<double> best(N, kInf);
-  std::vector<int64_t> best_arc(N, -1);
-  best[lat->start_node] = 0.0;
-  for (int pass = 0; pass < 16; ++pass) {
-    bool changed = false;
-    for (size_t i = 0; i < lat->arcs.size(); ++i) {
-      const LatArc& a = lat->arcs[i];
-      double c = best[a.from] + arc_cost(a);
-      if (c < best[a.to]) {
-        best[a.to] = c;
-        best_arc[a.to] = (int64_t)i;
-        changed = true;
-      }
-    }
-    if (!changed) break;
-  }
+  std::vector<double> best;
+  std::vector<int64_t> best_arc;
+  BestPathCosts(lat, ac_scale, &best, &best_arc);
   double best_total = kInf;
   int32_t best_node = -1;
   for (int64_t i = 0; i < N; ++i) {
@@ -450,22 +573,9 @@ int64_t pkc_lattice_ctm_conf(const PkcLattice* lat, double ac_scale,
 int64_t pkc_lattice_best_path(const PkcLattice* lat, double ac_scale,
                               int32_t* out_labels, int64_t max_out) {
   const int64_t N = (int64_t)lat->nodes.size();
-  std::vector<double> best(N, kInf);
-  std::vector<int64_t> best_arc(N, -1);
-  best[lat->start_node] = 0.0;
-  for (int pass = 0; pass < 16; ++pass) {
-    bool changed = false;
-    for (size_t i = 0; i < lat->arcs.size(); ++i) {
-      const LatArc& a = lat->arcs[i];
-      double c = best[a.from] + a.graph_cost + ac_scale * a.acoustic_cost;
-      if (c < best[a.to]) {
-        best[a.to] = c;
-        best_arc[a.to] = (int64_t)i;
-        changed = true;
-      }
-    }
-    if (!changed) break;
-  }
+  std::vector<double> best;
+  std::vector<int64_t> best_arc;
+  BestPathCosts(lat, ac_scale, &best, &best_arc);
   double best_total = kInf;
   int32_t best_node = -1;
   for (int64_t i = 0; i < N; ++i) {
