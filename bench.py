@@ -98,9 +98,11 @@ def build_train_step():
     return train_step, (variables, opt_state, x, labels), T * B
 
 
-def measure_block_sparse_speedup(drop=87.5, width=2048, M=5120):
+def measure_block_sparse_speedup(drop=87.5, width=2048, M=2560):
     """Dense masked 4-gate projection vs the v3 block-sparse forward at
-    a record.md 32x-class design point (within this process, honest)."""
+    a record.md 32x-class design point (within this process, honest).
+    Data lives on-device from birth (a host mask constant would upload
+    16MB through the ~MB/s tunnel per gate)."""
     import jax
     import jax.numpy as jnp
     from pytorch_kaldi_cgs_tpu.ops import block_sparse as BS
@@ -112,8 +114,16 @@ def measure_block_sparse_speedup(drop=87.5, width=2048, M=5120):
     layout = BS.pack_layout(np.asarray(mask), 128)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (M, width), jnp.float32)
-    ws = [jax.random.normal(jax.random.fold_in(key, g), (width, width),
-                            jnp.float32) * np.asarray(mask) for g in range(G)]
+    mask_d = jnp.asarray(np.packbits(np.asarray(mask, bool), axis=0))
+
+    @jax.jit
+    def make_ws(key, mask_d):
+        m = jnp.unpackbits(mask_d, axis=0, count=width).astype(jnp.float32)
+        return [jax.random.normal(jax.random.fold_in(key, g),
+                                  (width, width), jnp.float32) * m
+                for g in range(G)]
+
+    ws = make_ws(key, mask_d)
     w_cat = jnp.concatenate([w.T for w in ws], axis=1)
     w3, _ = BS.gather_v3(ws, layout)
 
@@ -125,8 +135,8 @@ def measure_block_sparse_speedup(drop=87.5, width=2048, M=5120):
         ys = BS.block_sparse_matmul_v3(c, w3, None, layout, G, tile_m=256)
         return c + jnp.sum(ys, axis=(0, 2))[:, None] * 1e-9
 
-    td = device_loop_time(dense_body, x, n_lo=5, n_hi=35)
-    tv = device_loop_time(v3_body, x, n_lo=5, n_hi=35)
+    td = device_loop_time(dense_body, x, n_lo=3, n_hi=18)
+    tv = device_loop_time(v3_body, x, n_lo=3, n_hi=18)
     return td / tv
 
 
@@ -155,8 +165,9 @@ def main():
     calib = matmul_calibration(n=4096)  # 2048-windows jitter >peak
     # block-sparse vs dense masked projection at a 32x design point —
     # skipped when compiles/contention already burned the time budget
+    # (measurement itself takes ~60s; driver budget is 550s)
     bs_speedup = None
-    if _time.time() - t_start < 300:
+    if _time.time() - t_start < 430:
         try:
             bs_speedup = round(measure_block_sparse_speedup(), 3)
         except Exception:
