@@ -526,6 +526,16 @@ class GRU(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        if self._fused_ok(use_ln, act_name, B, H, 3):
+            from ..ops.fused_rnn import gru_scan_fused
+            qb = (self.spec.inp_quant[0]
+                  if (self.spec.quant and self.spec.quant_inp) else 0)
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            gates_t = jnp.concatenate(proj, axis=-1)
+            return gru_scan_fused(gates_t.astype(jnp.float32),
+                                  U.astype(jnp.float32), drop_mask,
+                                  act=act_name, quant_bits=qb,
+                                  interpret=interpret)
         wh, wz, wr = proj
         gates_t = jnp.concatenate([wh, wz, wr], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -594,6 +604,16 @@ class minimalGRU(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        if self._fused_ok(use_ln, act_name, B, H, 2):
+            from ..ops.fused_rnn import mgru_scan_fused
+            qb = (self.spec.inp_quant[0]
+                  if (self.spec.quant and self.spec.quant_inp) else 0)
+            interpret = jax.default_backend() not in ("tpu", "axon")
+            gates_t = jnp.concatenate(proj, axis=-1)
+            return mgru_scan_fused(gates_t.astype(jnp.float32),
+                                   U.astype(jnp.float32), drop_mask,
+                                   act=act_name, quant_bits=qb,
+                                   interpret=interpret)
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)

@@ -163,6 +163,345 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# GRU (update + reset gates; the reset gate re-enters the candidate's
+# recurrent input, ref: neural_networks.py:1400-1410):
+#     z  = sigmoid(gz + h @ Uz.T)
+#     r  = sigmoid(gr + h @ Ur.T)
+#     hc = act(gh + (r*h) @ Uh.T) * drop
+#     h  = z * h + (1 - z) * hc
+# gates_t ordered [h, z, r]; U rows stacked [Uh; Uz; Ur].
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
+                   interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        h_prev = h_ref[...]
+        u = u_ref[...]                                # (3H, H) [Uh;Uz;Ur]
+        g = g_ref[0].astype(jnp.float32)              # (B, 3H) [h, z, r]
+        hq = _q_input(h_prev, qbits)
+        uzr = jax.lax.dot_general(hq, u[H:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        z = jax.nn.sigmoid(g[:, H:2 * H] + uzr[:, :H])
+        r = jax.nn.sigmoid(g[:, 2 * H:] + uzr[:, H:])
+        sq = _q_input(r * h_prev, qbits)
+        ah = g[:, :H] + jax.lax.dot_general(
+            sq, u[:H], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hc = actf(ah) * drop_ref[...]
+        h = z * h_prev + (1.0 - z) * hc
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, U, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * B * H * 3 * H,
+                bytes_accessed=(T * B * 3 * H + 3 * H * H
+                                + T * B * H) * 4,
+                transcendentals=T * B * H * 3),
+        )(gates_t, U, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_gru_bwd(T: int, B: int, H: int, act: str, qbits: int,
+                   interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = u_ref[...]
+        g = g_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        uzr = jax.lax.dot_general(hq, u[H:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        z = jax.nn.sigmoid(g[:, H:2 * H] + uzr[:, :H])
+        r = jax.nn.sigmoid(g[:, 2 * H:] + uzr[:, H:])
+        sq = _q_input(r * h_prev, qbits)
+        ah = g[:, :H] + jax.lax.dot_general(
+            sq, u[:H], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hc = actf(ah) * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - hc)
+        dah = dh * (1.0 - z) * drop_ref[...] * _dact_from_pre(act, ah)
+        # ds = d(r*h_prev) through the STE-identity input quantizer
+        ds = jax.lax.dot_general(dah, u[:H], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dr = ds * h_prev
+        daz = dz * z * (1.0 - z)
+        dar = dr * r * (1.0 - r)
+        dzr = jnp.concatenate([daz, dar], axis=1)     # (B, 2H)
+        dh_prev = dh * z + ds * r + jax.lax.dot_general(
+            dzr, u[H:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = jnp.concatenate([dah, dzr], axis=1).astype(dg_out.dtype)
+
+    def call(gates_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), rev),
+                pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 3 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
+                   drop_mask: jnp.ndarray, act: str = "tanh",
+                   quant_bits: int = 0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """hs = fused GRU recurrence. gates_t: (T, B, 3H) ordered
+    [wh, wz, wr]; U: (3H, H) stacked [Uh, Uz, Ur]."""
+    T, B, G3 = gates_t.shape
+    H = G3 // 3
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_gru_fwd(T, B, H, act, quant_bits, interpret)
+    bwd = _build_gru_bwd(T, B, H, act, quant_bits, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, U):
+        return fwd(gates_t, U, drop)
+
+    def _fwd_rule(gates_t, U):
+        hs = fwd(gates_t, U, drop)
+        return hs, (gates_t, U, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, U, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        hp = h_prev.reshape(M, H)
+        hq = _q_input(hp, quant_bits) if quant_bits > 0 else hp
+        # recompute r over the unrolled batch for dUh's input (r*h)
+        ar = gates_t.reshape(M, 3 * H)[:, 2 * H:] + jnp.einsum(
+            "mh,gh->mg", hq, U[2 * H:],
+            preferred_element_type=jnp.float32)
+        s = jax.nn.sigmoid(ar) * hp
+        sq = _q_input(s, quant_bits) if quant_bits > 0 else s
+        dgm = dg.reshape(M, 3 * H)
+        dUh = jnp.einsum("mg,mh->gh", dgm[:, :H], sq,
+                         preferred_element_type=jnp.float32)
+        dUzr = jnp.einsum("mg,mh->gh", dgm[:, H:], hq,
+                          preferred_element_type=jnp.float32)
+        dU = jnp.concatenate([dUh, dUzr], axis=0)
+        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, U)
+
+
+# ---------------------------------------------------------------------------
+# minimal GRU (the update gate also gates the candidate's recurrent
+# input, ref: neural_networks.py:1602-1777):
+#     z  = sigmoid(gz + h @ Uz.T)
+#     hc = act(gh + (z*h) @ Uh.T) * drop
+#     h  = z * h + (1 - z) * hc
+# gates_t ordered [h, z]; U rows stacked [Uh; Uz].
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _build_mgru_fwd(T: int, B: int, H: int, act: str, qbits: int,
+                    interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        h_prev = h_ref[...]
+        u = u_ref[...]                                # (2H, H) [Uh;Uz]
+        g = g_ref[0].astype(jnp.float32)              # (B, 2H) [h, z]
+        hq = _q_input(h_prev, qbits)
+        uz = jax.lax.dot_general(hq, u[H:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        z = jax.nn.sigmoid(g[:, H:] + uz)
+        sq = _q_input(z * h_prev, qbits)
+        ah = g[:, :H] + jax.lax.dot_general(
+            sq, u[:H], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hc = actf(ah) * drop_ref[...]
+        h = z * h_prev + (1.0 - z) * hc
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, U, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_mgru_bwd(T: int, B: int, H: int, act: str, qbits: int,
+                    interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = u_ref[...]
+        g = g_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        uz = jax.lax.dot_general(hq, u[H:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        z = jax.nn.sigmoid(g[:, H:] + uz)
+        sq = _q_input(z * h_prev, qbits)
+        ah = g[:, :H] + jax.lax.dot_general(
+            sq, u[:H], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hc = actf(ah) * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dah = dh * (1.0 - z) * drop_ref[...] * _dact_from_pre(act, ah)
+        ds = jax.lax.dot_general(dah, u[:H], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # z feeds both the mix and the gated recurrent input s = z*h
+        dz = dh * (h_prev - hc) + ds * h_prev
+        daz = dz * z * (1.0 - z)
+        dh_prev = dh * z + ds * z + jax.lax.dot_general(
+            daz, u[H:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = jnp.concatenate([dah, daz], axis=1).astype(dg_out.dtype)
+
+    def call(gates_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 2 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
+                    drop_mask: jnp.ndarray, act: str = "tanh",
+                    quant_bits: int = 0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """hs = fused minimalGRU recurrence. gates_t: (T, B, 2H) ordered
+    [wh, wz]; U: (2H, H) stacked [Uh, Uz]."""
+    T, B, G2 = gates_t.shape
+    H = G2 // 2
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_mgru_fwd(T, B, H, act, quant_bits, interpret)
+    bwd = _build_mgru_bwd(T, B, H, act, quant_bits, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, U):
+        return fwd(gates_t, U, drop)
+
+    def _fwd_rule(gates_t, U):
+        hs = fwd(gates_t, U, drop)
+        return hs, (gates_t, U, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, U, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        hp = h_prev.reshape(M, H)
+        hq = _q_input(hp, quant_bits) if quant_bits > 0 else hp
+        az = gates_t.reshape(M, 2 * H)[:, H:] + jnp.einsum(
+            "mh,gh->mg", hq, U[H:], preferred_element_type=jnp.float32)
+        s = jax.nn.sigmoid(az) * hp
+        sq = _q_input(s, quant_bits) if quant_bits > 0 else s
+        dgm = dg.reshape(M, 2 * H)
+        dUh = jnp.einsum("mg,mh->gh", dgm[:, :H], sq,
+                         preferred_element_type=jnp.float32)
+        dUz = jnp.einsum("mg,mh->gh", dgm[:, H:], hq,
+                         preferred_element_type=jnp.float32)
+        dU = jnp.concatenate([dUh, dUz], axis=0)
+        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, U)
+
+
+# ---------------------------------------------------------------------------
 # vanilla RNN
 # ---------------------------------------------------------------------------
 

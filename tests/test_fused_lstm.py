@@ -180,11 +180,14 @@ def test_model_sparse_recurrence_matches_dense():
 
 
 def test_fused_ligru_and_rnn_match_scan():
-    """liGRU/RNN fused recurrences == the lax.scan model paths,
-    forward and grads, through the full models (forced on CPU)."""
-    from pytorch_kaldi_cgs_tpu.models.recurrent import RNN, liGRU
+    """liGRU/RNN/GRU/minimalGRU fused recurrences == the lax.scan model
+    paths, forward and grads, through the full models (forced on CPU)."""
+    from pytorch_kaldi_cgs_tpu.models.recurrent import (GRU, RNN, liGRU,
+                                                        minimalGRU)
 
-    for cls, prefix, act in ((liGRU, "ligru", "relu"), (RNN, "rnn", "tanh")):
+    for cls, prefix, act in ((liGRU, "ligru", "relu"), (RNN, "rnn", "tanh"),
+                             (GRU, "gru", "tanh"),
+                             (minimalGRU, "minimalgru", "tanh")):
         opts = {prefix + "_lay": "32,32", prefix + "_drop": "0.1,0.1",
                 prefix + "_use_batchnorm": "True,True",
                 prefix + "_use_laynorm": "False,False",
@@ -223,3 +226,40 @@ def test_fused_ligru_and_rnn_match_scan():
             # kernel and the scan -> relative tolerance
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-3, err_msg=prefix)
+
+
+def test_fused_gru_quantized_input_matches_scan():
+    """16-bit input quantization flows identically through the fused GRU
+    kernel (q(h) for z/r, q(r*h) for the candidate) and the scan."""
+    from pytorch_kaldi_cgs_tpu.models.recurrent import GRU
+
+    opts = {"gru_lay": "32", "gru_drop": "0.0",
+            "gru_use_batchnorm": "True", "gru_use_laynorm": "False",
+            "gru_use_laynorm_inp": "False", "gru_use_batchnorm_inp": "False",
+            "gru_act": "tanh", "gru_orthinit": "True", "gru_bidir": "False",
+            "to_do": "train", "gru_hcgs": "False",
+            "hcgsx_block": "8,2", "hcgsh_block": "8,2",
+            "hcgsx_sparse": "25,50", "hcgsh_sparse": "25,50",
+            "gru_quant": "True", "param_quant": "8",
+            "gru_quant_inp": "True", "inp_quant": "16",
+            "gru_prune": "False", "gru_prune_perc": "0",
+            "skip_regularization": "True", "guided_hcgs": "False",
+            "apply_guided_hcgs": "False", "arch_name": "t",
+            "scan_unroll": "1"}
+    x = np.random.RandomState(1).randn(12, 4, 10).astype(np.float32)
+    m_plain = GRU(dict(opts, gru_fused_scan="False"), 10)
+    m_fused = GRU(dict(opts, gru_fused_scan="True"), 10)
+    v = m_plain.init(0)
+    key = jax.random.PRNGKey(3)
+    y1, _ = m_plain.apply(v, x, train=True, rng=key)
+    y2, _ = m_fused.apply(v, x, train=True, rng=key)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+
+    def loss(v_, m):
+        y, _ = m.apply(v_, x, train=True, rng=key)
+        return jnp.sum(y * y)
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda v_: loss(v_, m_plain))(v))
+    g2 = jax.tree_util.tree_leaves(jax.grad(lambda v_: loss(v_, m_fused))(v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-3)
