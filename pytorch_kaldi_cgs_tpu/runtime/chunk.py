@@ -92,6 +92,30 @@ def make_seq_batches(chunk: ChunkData, batch_size: int, train: bool,
         yield inp, mask, offsets, [chunk.names[i] for i in idx]
 
 
+def make_forward_batches(chunk: ChunkData, batch_size: int,
+                         bucket: int = 128):
+    """Multi-utterance forward batches: sentences in dataset order
+    (ark write order must match the reference's one-per-batch stream,
+    ref: core.py:71-72), padded to bucketed lengths, the final partial
+    batch zero-padded in the batch dim so XLA sees one static B. The
+    chunk loader sorts by length, so batches are length-homogeneous and
+    padding waste stays small. Yields (inp (T,B,C), lengths, names) with
+    len(names) <= B for the last batch."""
+    lengths = chunk.seq_lengths
+    N = len(lengths)
+    starts = np.concatenate([[0], chunk.end_index[:-1]])
+    C = chunk.data.shape[1]
+    for b0 in range(0, N, batch_size):
+        idx = list(range(b0, min(b0 + batch_size, N)))
+        max_len = _bucket(int(max(lengths[i] for i in idx)), bucket)
+        inp = np.zeros((max_len, batch_size, C), np.float32)
+        for k, i in enumerate(idx):
+            L = int(lengths[i])
+            inp[:L, k] = chunk.data[starts[i]:starts[i] + L]
+        yield inp, [int(lengths[i]) for i in idx], \
+            [chunk.names[i] for i in idx]
+
+
 def make_flat_batches(chunk: ChunkData, batch_size: int):
     """Flat frame batches for non-sequential models (ref: core.py:202-205)."""
     N = chunk.data.shape[0]
@@ -388,18 +412,27 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
                 counts = kaldi_io.load_counts(forward_norm[i])
                 counts_log[fo] = np.log(counts / counts.sum())
         step = runner.forward_step(forward_outs)
-        for inp, mask, offsets, names in make_seq_batches(
-                chunk, 1, False, rng_np, bucket=128):
+        # multi-utterance batching (identical per-utterance output to
+        # the reference's batch_size=1 stream, ref: core.py:71-72 — each
+        # column is unpadded before the ark write); [forward]
+        # forward_batch or PKC_FORWARD_BATCH overrides, default 8
+        fwd_bs = int(os.environ.get(
+            "PKC_FORWARD_BATCH",
+            config["forward"].get("forward_batch", "8") or "8"))
+        fwd_bs = max(fwd_bs, 1)
+        for inp, lens, names in make_forward_batches(chunk, fwd_bs,
+                                                     bucket=128):
             outs = step(variables, jnp.asarray(inp))
-            lead, L = offsets[0]
+            T, B = inp.shape[0], inp.shape[1]
             for i, fo in enumerate(forward_outs):
                 arr = np.asarray(outs[fo])
-                if arr.ndim == 3:
-                    arr = arr[:, 0, :]
-                arr = arr[lead:lead + L]
-                if fo in counts_log:
-                    arr = arr - counts_log[fo]
-                kaldi_io.write_mat(post_files[fo], arr, key=names[0])
+                if arr.ndim == 2:          # flat net: (T*B, C) row-major
+                    arr = arr.reshape(T, B, -1)
+                for j, name in enumerate(names):
+                    a = arr[:lens[j], j]
+                    if fo in counts_log:
+                        a = a - counts_log[fo]
+                    kaldi_io.write_mat(post_files[fo], a, key=name)
             n_batches += 1
         for f in post_files.values():
             f.close()

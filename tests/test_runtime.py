@@ -400,3 +400,45 @@ def test_cluster_cmd_hook_runs_decode_as_subprocess(synth_root, tmp_path):
     results = run_exp(cfg)
     wer_key = [k for k in results if k.startswith("wer_")]
     assert wer_key and 0 <= results[wer_key[0]] < 80.0
+
+
+def test_batched_forward_matches_single():
+    """make_forward_batches at B=4 produces per-utterance tensors
+    identical to B=1 (the reference's one-sentence-per-batch stream,
+    ref: core.py:71-72), for both a seq net and a flat (T*B,C) net."""
+    from pytorch_kaldi_cgs_tpu.data.dataset import ChunkData
+    from pytorch_kaldi_cgs_tpu.runtime.chunk import make_forward_batches
+
+    rng = np.random.RandomState(0)
+    lens = [37, 52, 61, 90, 101, 113]          # 6 utts -> batch 4 + partial 2
+    data = rng.randn(sum(lens), 10).astype(np.float32)
+    chunk = ChunkData(names=["u%d" % i for i in range(len(lens))],
+                      data=data, end_index=np.cumsum(lens))
+
+    def run(model_fn, bs):
+        outs = {}
+        for inp, ls, names in make_forward_batches(chunk, bs, bucket=32):
+            y = np.asarray(model_fn(jnp.asarray(inp)))
+            T, B = inp.shape[0], inp.shape[1]
+            if y.ndim == 2:
+                y = y.reshape(T, B, -1)
+            for j, nm in enumerate(names):
+                outs[nm] = y[:ls[j], j]
+        return outs
+
+    W = rng.randn(10, 7).astype(np.float32)
+
+    def seq_net(x):                             # causal cumulative net
+        return jnp.cumsum(jnp.tanh(x @ W), axis=0)
+
+    def flat_net(x):                            # per-frame net via (T*B,C)
+        flat = x.reshape(-1, x.shape[-1])
+        return jnp.tanh(flat @ W)
+
+    for net in (seq_net, flat_net):
+        o1 = run(net, 1)
+        o4 = run(net, 4)
+        assert sorted(o1) == sorted(o4) == sorted(chunk.names)
+        for nm in o1:
+            np.testing.assert_allclose(o4[nm], o1[nm], atol=1e-6,
+                                       err_msg=nm)
