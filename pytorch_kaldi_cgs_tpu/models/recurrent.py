@@ -203,11 +203,13 @@ class _RecurrentBase(AcousticModel):
             self._bs_layouts[i] = (layout, sub3, None)
 
     def _prepare_sparse_recurrence(self, variables) -> None:
-        """LSTM only: a block-sparse FUSED recurrence layout over the
-        stacked (nG*H, H) recurrent mask — lets wide layers whose dense
-        U overflows VMEM still run the whole time loop in one kernel,
-        touching only kept blocks (see ops.fused_lstm)."""
-        if self.prefix != "lstm":
+        """Plain-recurrent-input cells (LSTM/liGRU/RNN): a block-sparse
+        FUSED recurrence layout over the stacked (nG*H, H) recurrent
+        mask — lets wide layers whose dense U overflows VMEM still run
+        the whole time loop in one kernel, touching only kept blocks
+        (see ops.fused_lstm / ops.fused_rnn). GRU/minimalGRU gate the
+        candidate's recurrent input and stay on their dense kernels."""
+        if self.prefix not in ("lstm", "ligru", "rnn"):
             return
         from ..ops import block_sparse as BS
         masks = variables["masks"]
@@ -401,6 +403,34 @@ class _RecurrentBase(AcousticModel):
                   act_name="", layer=-1):
         raise NotImplementedError
 
+    def _sparse_rec_layout(self, use_ln, act_name, B, H, layer):
+        """The layer's block-sparse fused-recurrence layout, or None when
+        ineligible (laynorm in-scan, unsupported act, VMEM overflow at
+        this batch size, CPU backend without the force flag)."""
+        layout = getattr(self, "_rec_layouts", {}).get(layer)
+        if layout is None:
+            return None
+        from ..ops.fused_lstm import sparse_scan_fits_vmem
+        if not sparse_scan_fits_vmem(B, H, layout, len(self.gates_h)):
+            return None
+        if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
+            return None
+        if not (jax.default_backend() in ("tpu", "axon") or
+                self._fused_forced()):
+            return None
+        return layout
+
+    def _rec_w3g(self, U, layout, n_gates):
+        """Pack the stacked (nG*H, H) recurrent weights into the per-gate
+        row-major kept-block form the sparse fused kernels consume."""
+        from ..ops import block_sparse as BS
+        H = U.shape[1]
+        Uf = U.astype(jnp.float32)
+        gates = [Uf[g_ * H:(g_ + 1) * H] for g_ in range(n_gates)]
+        w3g, _ = BS.v3_from_blocks(
+            BS.gather_blocks_multi(gates, layout), layout, n_gates)
+        return w3g
+
     def _rmm(self, h, U):
         """Recurrent matmul with f32 accumulation (bf16 inputs when
         compute_dtype is set)."""
@@ -473,24 +503,12 @@ class LSTM(_RecurrentBase):
         qb = (self.spec.inp_quant[0]
               if (self.spec.quant and self.spec.quant_inp) else 0)
         interpret = jax.default_backend() not in ("tpu", "axon")
-        rec_layout = getattr(self, "_rec_layouts", {}).get(layer)
+        rec_layout = self._sparse_rec_layout(use_ln, act_name, B, H, layer)
         if rec_layout is not None:
-            from ..ops.fused_lstm import sparse_scan_fits_vmem
-            if not sparse_scan_fits_vmem(B, H, rec_layout):
-                rec_layout = None
-        if rec_layout is not None and not use_ln and \
-                act_name in ("tanh", "relu", "htanh", "linear") and \
-                (jax.default_backend() in ("tpu", "axon") or
-                 self._fused_forced()):
-            from ..ops import block_sparse as BS
             from ..ops.fused_lstm import lstm_scan_fused_sparse
-            Uf = U.astype(jnp.float32)
-            gates = [Uf[g_ * H:(g_ + 1) * H] for g_ in range(len(self.gates_h))]
-            w3g, _ = BS.v3_from_blocks(
-                BS.gather_blocks_multi(gates, rec_layout), rec_layout,
-                len(gates))
             return lstm_scan_fused_sparse(
-                gates_t.astype(jnp.float32), w3g, rec_layout, drop_mask,
+                gates_t.astype(jnp.float32),
+                self._rec_w3g(U, rec_layout, 4), rec_layout, drop_mask,
                 act=act_name, quant_bits=qb, interpret=interpret)
         if self._use_fused_scan(use_ln, act_name, B, H):
             from ..ops.fused_lstm import lstm_scan_fused
@@ -566,11 +584,19 @@ class liGRU(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        qb = (self.spec.inp_quant[0]
+              if (self.spec.quant and self.spec.quant_inp) else 0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        rec_layout = self._sparse_rec_layout(use_ln, act_name, B, H, layer)
+        if rec_layout is not None:
+            from ..ops.fused_rnn import ligru_scan_fused_sparse
+            gates_t = jnp.concatenate(proj, axis=-1)
+            return ligru_scan_fused_sparse(
+                gates_t.astype(jnp.float32),
+                self._rec_w3g(U, rec_layout, 2), rec_layout, drop_mask,
+                act=act_name, quant_bits=qb, interpret=interpret)
         if self._fused_ok(use_ln, act_name, B, H, 2):
             from ..ops.fused_rnn import ligru_scan_fused
-            qb = (self.spec.inp_quant[0]
-                  if (self.spec.quant and self.spec.quant_inp) else 0)
-            interpret = jax.default_backend() not in ("tpu", "axon")
             gates_t = jnp.concatenate(proj, axis=-1)
             return ligru_scan_fused(gates_t.astype(jnp.float32),
                                     U.astype(jnp.float32), drop_mask,
@@ -643,11 +669,18 @@ class RNN(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        qb = (self.spec.inp_quant[0]
+              if (self.spec.quant and self.spec.quant_inp) else 0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        rec_layout = self._sparse_rec_layout(use_ln, act_name, B, H, layer)
+        if rec_layout is not None:
+            from ..ops.fused_rnn import rnn_scan_fused_sparse
+            return rnn_scan_fused_sparse(
+                proj[0].astype(jnp.float32),
+                self._rec_w3g(U, rec_layout, 1), rec_layout, drop_mask,
+                act=act_name, quant_bits=qb, interpret=interpret)
         if self._fused_ok(use_ln, act_name, B, H, 1):
             from ..ops.fused_rnn import rnn_scan_fused
-            qb = (self.spec.inp_quant[0]
-                  if (self.spec.quant and self.spec.quant_inp) else 0)
-            interpret = jax.default_backend() not in ("tpu", "axon")
             return rnn_scan_fused(proj[0].astype(jnp.float32),
                                   U.astype(jnp.float32), drop_mask,
                                   act=act_name, quant_bits=qb,

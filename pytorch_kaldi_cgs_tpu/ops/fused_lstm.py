@@ -296,6 +296,52 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+# --- shared static-index helpers for the sparse recurrence kernels ----
+# (also used by the liGRU/RNN sparse fused scans in ops.fused_rnn)
+
+def sparse_recurrent_u(h, u_ref, Nb, R, bs, G, H, col_idx):
+    """u = h @ U_stacked.T touching only KEPT blocks: gather the R kept
+    bs-column slices per out-block (STATIC indices), one batched dot
+    against w3g, reshape to the dense gate-major (B, G*H) layout."""
+    B = h.shape[0]
+    gath = jnp.stack([
+        jnp.concatenate([h[:, col_idx[j * R + k] * bs:
+                           (col_idx[j * R + k] + 1) * bs]
+                         for k in range(R)], axis=1)
+        for j in range(Nb)])                      # (Nb, B, R*bs)
+    part = jax.lax.dot_general(
+        gath.astype(u_ref.dtype), u_ref[...],
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (Nb, B, G*bs)
+    # -> (B, G, Nb, bs) -> (B, G*H): gate-major, block j at offset
+    # g*H + j*bs — matching the dense u = h @ U_stacked.T layout
+    part = part.reshape(Nb, B, G, bs).transpose(1, 2, 0, 3)
+    return part.reshape(B, G * H)
+
+
+def sparse_dh_parts(dg, u_ref, Nb, R, bs, G, H, col_idx):
+    """d(h_prev) contribution per kept block: gather dg per (gate,
+    out-block) -> (Nb, B, G*bs), batched dot with w3g over its G*bs
+    dim -> (Nb, B, R*bs) to scatter-add back into dh columns."""
+    dgb = jnp.stack([
+        jnp.concatenate([dg[:, g_ * H + j * bs:g_ * H + (j + 1) * bs]
+                         for g_ in range(G)], axis=1)
+        for j in range(Nb)])                       # (Nb, B, G*bs)
+    return jax.lax.dot_general(
+        dgb.astype(u_ref.dtype), u_ref[...],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (Nb, B, R*bs)
+
+
+def scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx):
+    """dh_ref[:, cols] += dpart slices (STATIC indices; .at[].add inside
+    a Pallas kernel materializes full-array copies — measured 0.81x)."""
+    for j in range(Nb):
+        for k in range(R):
+            c_ = col_idx[j * R + k]
+            dh_ref[:, c_ * bs:(c_ + 1) * bs] += dpart[j, :, k * bs:(k + 1) * bs]
+
+
 @functools.lru_cache(maxsize=16)
 def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
                       Nb: int, R: int, bs: int, G: int, col_idx: tuple,
@@ -305,19 +351,7 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
     actf = _ACTS[act]
 
     def _recurrent_u(h, u_ref):
-        gath = jnp.stack([
-            jnp.concatenate([h[:, col_idx[j * R + k] * bs:
-                               (col_idx[j * R + k] + 1) * bs]
-                             for k in range(R)], axis=1)
-            for j in range(Nb)])                      # (Nb, B, R*bs)
-        part = jax.lax.dot_general(
-            gath.astype(u_ref.dtype), u_ref[...],
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (Nb, B, G*bs)
-        # -> (B, G, Nb, bs) -> (B, G*H): gate-major, block j at offset
-        # g*H + j*bs — matching the dense u = h @ U_stacked.T layout
-        part = part.reshape(Nb, B, G, bs).transpose(1, 2, 0, 3)
-        return part.reshape(B, G * H)
+        return sparse_recurrent_u(h, u_ref, Nb, R, bs, G, H, col_idx)
 
     def kernel(g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref):
         t = pl.program_id(0)
@@ -394,17 +428,7 @@ def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
 
         h_prev = _q_input(hprev_ref[0].astype(jnp.float32), qbits)
         c_prev = cprev_ref[0].astype(jnp.float32)
-        gath = jnp.stack([
-            jnp.concatenate([h_prev[:, col_idx[j * R + k] * bs:
-                                    (col_idx[j * R + k] + 1) * bs]
-                             for k in range(R)], axis=1)
-            for j in range(Nb)])
-        part = jax.lax.dot_general(
-            gath.astype(u_ref.dtype), u_ref[...],
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        u = part.reshape(Nb, B, G, bs).transpose(1, 2, 0, 3) \
-            .reshape(B, G * H)
+        u = sparse_recurrent_u(h_prev, u_ref, Nb, R, bs, G, H, col_idx)
         g = g_ref[0].astype(jnp.float32) + u
         gf = jax.nn.sigmoid(g[:, :H])
         gi = jax.nn.sigmoid(g[:, H:2 * H])
@@ -422,23 +446,9 @@ def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
         dgi = dc * gc * drop * gi * (1.0 - gi)
         dgc = dc * gi * drop * _dact_from_pre(act, gc_pre)
         dg = jnp.concatenate([dgf, dgi, dgo, dgc], axis=1)   # (B, 4H)
-        # dh_prev: gather dg per (gate, out-block) -> (Nb, B, G*bs),
-        # batched dot with w3g over its G*bs dim, scatter-add the R
-        # bs-slices back into dh columns (STATIC indices)
-        dgb = jnp.stack([
-            jnp.concatenate([dg[:, g_ * H + j * bs:g_ * H + (j + 1) * bs]
-                             for g_ in range(G)], axis=1)
-            for j in range(Nb)])                       # (Nb, B, G*bs)
-        dpart = jax.lax.dot_general(
-            dgb.astype(u_ref.dtype), u_ref[...],
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (Nb, B, R*bs)
+        dpart = sparse_dh_parts(dg, u_ref, Nb, R, bs, G, H, col_idx)
         dh_ref[...] = jnp.zeros_like(dh_ref)
-        for j in range(Nb):
-            for k in range(R):
-                c_ = col_idx[j * R + k]
-                dh_ref[:, c_ * bs:(c_ + 1) * bs] += \
-                    dpart[j, :, k * bs:(k + 1) * bs]
+        scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx)
         dc_ref[...] = dc * gf
         dg_out[0] = dg.astype(dg_out.dtype)
 
@@ -465,6 +475,28 @@ def _build_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
         )(gates_t, w3g, drop_mask, h_prev_seq, c_prev_seq, dhs)
 
     return call
+
+
+def sparse_dU(dg_m, hq_m, layout, G, interpret):
+    """dw3g (Nb, G*bs, R*bs) from per-step gate cotangents over the
+    unrolled batch, via the v3 dw kernel. dg_m: (M, G*H) gate-major;
+    hq_m: (M, H) the (quantized) recurrent inputs."""
+    from . import block_sparse as BS
+    M = dg_m.shape[0]
+    Nb, bs = layout.Nb, layout.bs
+    # flatten to the (M, Nb*G*bs) layout the dw kernel streams: per
+    # out-block j, the G gates' bs-slices adjacent
+    dg_flat = dg_m.reshape(M, G, Nb, bs).transpose(0, 2, 1, 3) \
+        .reshape(M, Nb * G * bs)
+    tile = 8
+    t_ = 8
+    bound = max(8, (1024 * 1024 // layout.K) // 8 * 8)
+    while t_ <= min(M, bound):
+        if M % t_ == 0:
+            tile = t_
+        t_ += 8
+    _, _, dwk = BS._build_v3_ops(layout, G, tile, interpret)
+    return dwk(dg_flat, hq_m, jnp.float32)
 
 
 def sparse_scan_fits_vmem(B: int, H: int, layout, G: int = 4) -> str:
@@ -519,7 +551,6 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         return hs, (gates_t, w3g, hs, cs)
 
     def _bwd_rule(res, dhs):
-        from . import block_sparse as BS
         gates_t, w3g, hs, cs = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
@@ -529,19 +560,7 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         M = T * B
         hq = _q_input(h_prev.reshape(M, H), quant_bits) \
             if quant_bits > 0 else h_prev.reshape(M, H)
-        # flatten dg to the (M, Nb*G*bs) layout the dw kernel streams:
-        # per out-block j, the G gates' bs-slices adjacent
-        dg_flat = dg.reshape(M, G, Nb, bs).transpose(0, 2, 1, 3) \
-            .reshape(M, Nb * G * bs)
-        tile = 8
-        t_ = 8
-        bound = max(8, (1024 * 1024 // layout.K) // 8 * 8)
-        while t_ <= min(M, bound):
-            if M % t_ == 0:
-                tile = t_
-            t_ += 8
-        _, _, dwk = BS._build_v3_ops(layout, G, tile, interpret)
-        dw3g = dwk(dg_flat, hq, jnp.float32)   # (Nb, G*bs, R*bs)
+        dw3g = sparse_dU(dg.reshape(M, G * H), hq, layout, G, interpret)
         return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)

@@ -630,3 +630,290 @@ def fits_vmem(B: int, H: int, n_gates: int) -> bool:
     weights = n_gates * H * H * 4
     work = 6 * B * H * 4 + 3 * B * n_gates * H * 4
     return weights + work < 12 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# block-sparse fused recurrences (liGRU / vanilla RNN) — same design as
+# fused_lstm.lstm_scan_fused_sparse: the gates share one HCGS mask, only
+# KEPT recurrent blocks live in VMEM (per-gate row-major w3 layout), one
+# batched dot per step with static column gathers; dU via the v3 dw
+# kernel over the unrolled batch outside. The gated-input cells (GRU,
+# minimalGRU) stay on their dense fused kernels: their candidate input
+# r*h / z*h would need a second gather+dot per step.
+# ---------------------------------------------------------------------------
+
+from .fused_lstm import (scatter_add_cols, sparse_dU, sparse_dh_parts,
+                         sparse_recurrent_u, sparse_scan_fits_vmem)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_ligru_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                            Nb: int, R: int, bs: int, col_idx: tuple,
+                            interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+    G = 2
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        hq = _q_input(h_ref[...], qbits)
+        u = sparse_recurrent_u(hq, u_ref, Nb, R, bs, G, H, col_idx)
+        g = g_ref[0].astype(jnp.float32) + u          # (B, 2H): [h, z]
+        hc = actf(g[:, :H]) * drop_ref[...]
+        z = jax.nn.sigmoid(g[:, H:])
+        h = z * h_ref[...] + (1.0 - z) * hc
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, w3g, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((Nb, G * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * B * bs * bs * Nb * R * G,
+                bytes_accessed=(T * B * 2 * H + Nb * G * R * bs * bs
+                                + T * B * H) * 4,
+                transcendentals=T * B * H * 2),
+        )(gates_t, w3g, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _build_ligru_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                            Nb: int, R: int, bs: int, col_idx: tuple,
+                            interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+    G = 2
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        u = sparse_recurrent_u(hq, u_ref, Nb, R, bs, G, H, col_idx)
+        g = g_ref[0].astype(jnp.float32) + u
+        ac = g[:, :H]
+        hc = actf(ac) * drop_ref[...]
+        z = jax.nn.sigmoid(g[:, H:])
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - hc)
+        daz = dz * z * (1.0 - z)
+        dac = dh * (1.0 - z) * drop_ref[...] * _dact_from_pre(act, ac)
+        dg = jnp.concatenate([dac, daz], axis=1)      # (B, 2H)
+        dpart = sparse_dh_parts(dg, u_ref, Nb, R, bs, G, H, col_idx)
+        dh_ref[...] = dh * z
+        scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx)
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(gates_t, w3g, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((Nb, G * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 2 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, w3g, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def ligru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
+                            layout, drop_mask: jnp.ndarray,
+                            act: str = "relu", quant_bits: int = 0,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused liGRU recurrence with BLOCK-SPARSE recurrent matrices
+    (uh/uz share one HCGS mask). gates_t: (T, B, 2H) [wh, wz]; w3g:
+    (Nb, 2*bs, R*bs) packed kept blocks."""
+    T, B, G2 = gates_t.shape
+    H = G2 // 2
+    G = 2
+    bs, Nb, R = layout.bs, layout.Nb, layout.R
+    col_idx = tuple(int(v) for v in layout.col_idx)
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    if sparse_scan_fits_vmem(B, H, layout, G) == "bf16":
+        w3g = w3g.astype(jnp.bfloat16)
+    fwd = _build_ligru_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                  col_idx, interpret)
+    bwd = _build_ligru_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                  col_idx, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, w3g):
+        return fwd(gates_t, w3g, drop)
+
+    def _fwd_rule(gates_t, w3g):
+        hs = fwd(gates_t, w3g, drop)
+        return hs, (gates_t, w3g, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, w3g, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg = bwd(gates_t, w3g, drop, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else h_prev.reshape(M, H)
+        dw3g = sparse_dU(dg.reshape(M, G * H), hq, layout, G, interpret)
+        return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, w3g)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_rnn_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                          Nb: int, R: int, bs: int, col_idx: tuple,
+                          interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        hq = _q_input(h_ref[...], qbits)
+        u = sparse_recurrent_u(hq, u_ref, Nb, R, bs, 1, H, col_idx)
+        h = actf(g_ref[0].astype(jnp.float32) + u) * drop_ref[...]
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, w3g, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((Nb, bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, w3g, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _build_rnn_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                          Nb: int, R: int, bs: int, col_idx: tuple,
+                          interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        u = sparse_recurrent_u(hq, u_ref, Nb, R, bs, 1, H, col_idx)
+        a = g_ref[0].astype(jnp.float32) + u
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dg = dh * drop_ref[...] * _dact_from_pre(act, a)
+        dpart = sparse_dh_parts(dg, u_ref, Nb, R, bs, 1, H, col_idx)
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx)
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(gates_t, w3g, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((Nb, bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, w3g, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def rnn_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
+                          layout, drop_mask: jnp.ndarray,
+                          act: str = "tanh", quant_bits: int = 0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused vanilla-RNN recurrence with a BLOCK-SPARSE recurrent
+    matrix. gates_t: (T, B, H); w3g: (Nb, bs, R*bs)."""
+    T, B, H = gates_t.shape
+    bs, Nb, R = layout.bs, layout.Nb, layout.R
+    col_idx = tuple(int(v) for v in layout.col_idx)
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    if sparse_scan_fits_vmem(B, H, layout, 1) == "bf16":
+        w3g = w3g.astype(jnp.bfloat16)
+    fwd = _build_rnn_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                col_idx, interpret)
+    bwd = _build_rnn_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                col_idx, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, w3g):
+        return fwd(gates_t, w3g, drop)
+
+    def _fwd_rule(gates_t, w3g):
+        hs = fwd(gates_t, w3g, drop)
+        return hs, (gates_t, w3g, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, w3g, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg = bwd(gates_t, w3g, drop, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else h_prev.reshape(M, H)
+        dw3g = sparse_dU(dg.reshape(M, H), hq, layout, 1, interpret)
+        return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, w3g)

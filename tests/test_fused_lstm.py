@@ -263,3 +263,52 @@ def test_fused_gru_quantized_input_matches_scan():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_model_sparse_recurrence_ligru_rnn_matches_dense():
+    """liGRU/RNN: sparse fused recurrence == plain masked lax.scan,
+    forward and recurrent grads (interpret mode, forced on CPU)."""
+    from pytorch_kaldi_cgs_tpu.models.recurrent import RNN, liGRU
+
+    for cls, prefix, act in ((liGRU, "ligru", "relu"), (RNN, "rnn", "tanh")):
+        opts = {prefix + "_lay": "256", prefix + "_drop": "0.0",
+                prefix + "_use_batchnorm": "True",
+                prefix + "_use_laynorm": "False",
+                prefix + "_use_laynorm_inp": "False",
+                prefix + "_use_batchnorm_inp": "False",
+                prefix + "_act": act, prefix + "_orthinit": "True",
+                prefix + "_bidir": "False", "to_do": "train",
+                prefix + "_hcgs": "True",
+                "hcgsx_block": "128", "hcgsh_block": "128",
+                "hcgsx_sparse": "50", "hcgsh_sparse": "50",
+                prefix + "_quant": "False", "param_quant": "8",
+                prefix + "_quant_inp": "False", "inp_quant": "16",
+                prefix + "_prune": "False", prefix + "_prune_perc": "0",
+                "skip_regularization": "True", "guided_hcgs": "False",
+                "apply_guided_hcgs": "False", "arch_name": "t",
+                "scan_unroll": "1"}
+        x = np.random.RandomState(0).randn(12, 4, 64).astype(np.float32)
+        m_plain = cls(dict(opts, **{prefix + "_fused_scan": "False",
+                                    prefix + "_block_sparse": "False"}), 64)
+        m_sp = cls(dict(opts, **{prefix + "_fused_scan": "True",
+                                 prefix + "_block_sparse": "True"}), 64)
+        v = m_plain.init(0)
+        m_sp.prepare_block_sparse(v)
+        assert 0 in m_sp._rec_layouts, prefix
+        v_s = m_sp.pack_variables(v)
+        key = jax.random.PRNGKey(3)
+        y1, _ = m_plain.apply(v, x, train=True, rng=key)
+        y2, _ = m_sp.apply(v_s, x, train=True, rng=key)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   atol=1e-5, err_msg=prefix)
+
+        def loss(v_, m):
+            y, _ = m.apply(v_, x, train=True, rng=key)
+            return jnp.sum(y * y)
+        g1 = jax.grad(lambda v_: loss(v_, m_plain))(v)["params"]
+        g2 = jax.grad(lambda v_: loss(v_, m_sp))(v_s)["params"]
+        for k in g1:
+            if k.startswith("u"):
+                np.testing.assert_allclose(
+                    np.asarray(g2[k]), np.asarray(g1[k]), atol=1e-4,
+                    err_msg="%s %s" % (prefix, k))
