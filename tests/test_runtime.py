@@ -442,3 +442,53 @@ def test_batched_forward_matches_single():
         for nm in o1:
             np.testing.assert_allclose(o4[nm], o1[nm], atol=1e-6,
                                        err_msg=nm)
+
+
+def test_sigkill_mid_training_resume(tmp_path):
+    """Elasticity: SIGKILL the experiment process mid-training, rerun,
+    and the experiment completes with the same artifact contract — the
+    chunk-granularity crash recovery of the reference (.info markers +
+    pretrain chain, ref: run_exp.py:189-219) plus our atomic checkpoint
+    writes (a killed write must never leave a corrupt .pkl behind)."""
+    import subprocess
+    import sys
+    import time as _t
+
+    root = str(tmp_path / "data")
+    synth.generate(root, synth.SynthSpec(
+        num_utts=24, num_phones=6, states_per_phone=2, feat_dim=8,
+        min_len=40, max_len=90, noise=0.4, seed=7))
+    out_folder = str(tmp_path / "exp_kill")
+    cfg = make_synth_cfg(str(tmp_path / "kill.cfg"), root, out_folder,
+                         model="MLP", hidden=48, n_epochs=3, n_chunks=3,
+                         batch_size=64, lr=0.06, cw=1)
+    code = ("import jax; jax.config.update('jax_platforms','cpu')\n"
+            "from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp\n"
+            "run_exp(%r)\n" % cfg)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen([sys.executable, "-c", code], env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    # wait for the first chunk artifacts, then kill hard mid-flight
+    info_glob = os.path.join(out_folder, "exp_files", "*.info")
+    deadline = _t.time() + 120
+    while _t.time() < deadline and not glob.glob(info_glob):
+        _t.sleep(0.3)
+    assert glob.glob(info_glob), "no chunk ever completed before timeout"
+    proc.kill()
+    proc.wait()
+    done_before = set(glob.glob(info_glob))
+
+    # no partial checkpoint corruption: every .pkl on disk must load
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    for pkl in glob.glob(os.path.join(out_folder, "exp_files", "*.pkl")):
+        load_checkpoint(pkl)
+
+    # resume in-process: completed chunks skipped, run finishes
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    results = run_exp(cfg)
+    res = open(results["res_file"]).read()
+    assert "ep=2" in res
+    assert done_before <= set(glob.glob(info_glob))
+    assert os.path.exists(os.path.join(out_folder, "exp_files",
+                                       "final_architecture1.pkl"))
