@@ -203,13 +203,14 @@ class _RecurrentBase(AcousticModel):
             self._bs_layouts[i] = (layout, sub3, None)
 
     def _prepare_sparse_recurrence(self, variables) -> None:
-        """Plain-recurrent-input cells (LSTM/liGRU/RNN): a block-sparse
-        FUSED recurrence layout over the stacked (nG*H, H) recurrent
-        mask — lets wide layers whose dense U overflows VMEM still run
-        the whole time loop in one kernel, touching only kept blocks
-        (see ops.fused_lstm / ops.fused_rnn). GRU/minimalGRU gate the
-        candidate's recurrent input and stay on their dense kernels."""
-        if self.prefix not in ("lstm", "ligru", "rnn"):
+        """A block-sparse FUSED recurrence layout over the stacked
+        (nG*H, H) recurrent mask — lets wide layers whose dense U
+        overflows VMEM still run the whole time loop in one kernel,
+        touching only kept blocks (ops.fused_lstm / ops.fused_rnn).
+        GRU/minimalGRU gate the candidate's recurrent input; their
+        kernels do two gather+dot passes per step."""
+        if self.prefix not in ("lstm", "ligru", "rnn", "gru",
+                               "minimalgru"):
             return
         from ..ops import block_sparse as BS
         masks = variables["masks"]
@@ -544,11 +545,19 @@ class GRU(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        qb = (self.spec.inp_quant[0]
+              if (self.spec.quant and self.spec.quant_inp) else 0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        rec_layout = self._sparse_rec_layout(use_ln, act_name, B, H, layer)
+        if rec_layout is not None:
+            from ..ops.fused_rnn import gru_scan_fused_sparse
+            gates_t = jnp.concatenate(proj, axis=-1)
+            return gru_scan_fused_sparse(
+                gates_t.astype(jnp.float32),
+                self._rec_w3g(U, rec_layout, 3), rec_layout, drop_mask,
+                act=act_name, quant_bits=qb, interpret=interpret)
         if self._fused_ok(use_ln, act_name, B, H, 3):
             from ..ops.fused_rnn import gru_scan_fused
-            qb = (self.spec.inp_quant[0]
-                  if (self.spec.quant and self.spec.quant_inp) else 0)
-            interpret = jax.default_backend() not in ("tpu", "axon")
             gates_t = jnp.concatenate(proj, axis=-1)
             return gru_scan_fused(gates_t.astype(jnp.float32),
                                   U.astype(jnp.float32), drop_mask,
@@ -630,11 +639,19 @@ class minimalGRU(_RecurrentBase):
 
     def _run_scan(self, proj, U, drop_mask, act, ln_p, use_ln, B, H,
                   act_name="", layer=-1):
+        qb = (self.spec.inp_quant[0]
+              if (self.spec.quant and self.spec.quant_inp) else 0)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        rec_layout = self._sparse_rec_layout(use_ln, act_name, B, H, layer)
+        if rec_layout is not None:
+            from ..ops.fused_rnn import mgru_scan_fused_sparse
+            gates_t = jnp.concatenate(proj, axis=-1)
+            return mgru_scan_fused_sparse(
+                gates_t.astype(jnp.float32),
+                self._rec_w3g(U, rec_layout, 2), rec_layout, drop_mask,
+                act=act_name, quant_bits=qb, interpret=interpret)
         if self._fused_ok(use_ln, act_name, B, H, 2):
             from ..ops.fused_rnn import mgru_scan_fused
-            qb = (self.spec.inp_quant[0]
-                  if (self.spec.quant and self.spec.quant_inp) else 0)
-            interpret = jax.default_backend() not in ("tpu", "axon")
             gates_t = jnp.concatenate(proj, axis=-1)
             return mgru_scan_fused(gates_t.astype(jnp.float32),
                                    U.astype(jnp.float32), drop_mask,

@@ -793,6 +793,352 @@ def ligru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
     return _op(gates_t, w3g)
 
 
+# --- GRU / minimalGRU sparse fused: the candidate's recurrent input is
+# gated (r*h / z*h), so each step does TWO gather+dot passes against
+# static gate-group slices of the packed w3g (gate-major within each
+# block: rows [h | z | r] x bs). The bwd kernel additionally emits the
+# gated input sequence s_t so dU needs no block-sparse recompute outside.
+
+@functools.lru_cache(maxsize=16)
+def _build_gru_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                          Nb: int, R: int, bs: int, col_idx: tuple,
+                          interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        h_prev = h_ref[...]
+        u = u_ref[...]                       # (Nb, 3*bs, R*bs) [h|z|r]
+        g = g_ref[0].astype(jnp.float32)     # (B, 3H) [h, z, r]
+        hq = _q_input(h_prev, qbits)
+        uzr = sparse_recurrent_u(hq, u[:, bs:], Nb, R, bs, 2, H, col_idx)
+        z = jax.nn.sigmoid(g[:, H:2 * H] + uzr[:, :H])
+        r = jax.nn.sigmoid(g[:, 2 * H:] + uzr[:, H:])
+        sq = _q_input(r * h_prev, qbits)
+        uh = sparse_recurrent_u(sq, u[:, :bs], Nb, R, bs, 1, H, col_idx)
+        hc = actf(g[:, :H] + uh) * drop_ref[...]
+        h = z * h_prev + (1.0 - z) * hc
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, w3g, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((Nb, 3 * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * B * bs * bs * Nb * R * 3,
+                bytes_accessed=(T * B * 3 * H + Nb * 3 * R * bs * bs
+                                + T * B * H) * 4,
+                transcendentals=T * B * H * 3),
+        )(gates_t, w3g, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _build_gru_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                          Nb: int, R: int, bs: int, col_idx: tuple,
+                          interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               s_out, dh_ref, ds_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = u_ref[...]
+        g = g_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        uzr = sparse_recurrent_u(hq, u[:, bs:], Nb, R, bs, 2, H, col_idx)
+        z = jax.nn.sigmoid(g[:, H:2 * H] + uzr[:, :H])
+        r = jax.nn.sigmoid(g[:, 2 * H:] + uzr[:, H:])
+        s = r * h_prev
+        sq = _q_input(s, qbits)
+        uh = sparse_recurrent_u(sq, u[:, :bs], Nb, R, bs, 1, H, col_idx)
+        ah = g[:, :H] + uh
+        hc = actf(ah) * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - hc)
+        dah = dh * (1.0 - z) * drop_ref[...] * _dact_from_pre(act, ah)
+        # ds = dah @ Uh over kept blocks only (STE through the quantizer)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        scatter_add_cols(ds_ref, sparse_dh_parts(dah, u[:, :bs], Nb, R,
+                                                 bs, 1, H, col_idx),
+                         Nb, R, bs, col_idx)
+        ds = ds_ref[...]
+        dr = ds * h_prev
+        daz = dz * z * (1.0 - z)
+        dar = dr * r * (1.0 - r)
+        dzr = jnp.concatenate([daz, dar], axis=1)
+        dpart = sparse_dh_parts(dzr, u[:, bs:], Nb, R, bs, 2, H, col_idx)
+        dh_ref[...] = dh * z + ds * r
+        scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx)
+        dg_out[0] = jnp.concatenate([dah, dzr], axis=1).astype(dg_out.dtype)
+        s_out[0] = s.astype(s_out.dtype)
+
+    def call(gates_t, w3g, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), rev),
+                pl.BlockSpec((Nb, 3 * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, 3 * H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                            pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, w3g, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def gru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
+                          layout, drop_mask: jnp.ndarray,
+                          act: str = "tanh", quant_bits: int = 0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused GRU recurrence with BLOCK-SPARSE recurrent matrices
+    (uh/uz/ur share one HCGS mask). gates_t: (T, B, 3H) [wh, wz, wr];
+    w3g: (Nb, 3*bs, R*bs)."""
+    T, B, G3 = gates_t.shape
+    H = G3 // 3
+    bs, Nb, R = layout.bs, layout.Nb, layout.R
+    col_idx = tuple(int(v) for v in layout.col_idx)
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    if sparse_scan_fits_vmem(B, H, layout, 3) == "bf16":
+        w3g = w3g.astype(jnp.bfloat16)
+    fwd = _build_gru_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                col_idx, interpret)
+    bwd = _build_gru_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                col_idx, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, w3g):
+        return fwd(gates_t, w3g, drop)
+
+    def _fwd_rule(gates_t, w3g):
+        hs = fwd(gates_t, w3g, drop)
+        return hs, (gates_t, w3g, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, w3g, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg, s_seq = bwd(gates_t, w3g, drop, h_prev,
+                        dhs.astype(jnp.float32))
+        M = T * B
+        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else h_prev.reshape(M, H)
+        sq = _q_input(s_seq.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else s_seq.reshape(M, H)
+        dgm = dg.reshape(M, 3 * H)
+        dUh = sparse_dU(dgm[:, :H], sq, layout, 1, interpret)
+        dUzr = sparse_dU(dgm[:, H:], hq, layout, 2, interpret)
+        dw3g = jnp.concatenate([dUh, dUzr], axis=1)   # [h | z | r]
+        return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, w3g)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_mgru_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                           Nb: int, R: int, bs: int, col_idx: tuple,
+                           interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        h_prev = h_ref[...]
+        u = u_ref[...]                       # (Nb, 2*bs, R*bs) [h|z]
+        g = g_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        uz = sparse_recurrent_u(hq, u[:, bs:], Nb, R, bs, 1, H, col_idx)
+        z = jax.nn.sigmoid(g[:, H:] + uz)
+        sq = _q_input(z * h_prev, qbits)
+        uh = sparse_recurrent_u(sq, u[:, :bs], Nb, R, bs, 1, H, col_idx)
+        hc = actf(g[:, :H] + uh) * drop_ref[...]
+        h = z * h_prev + (1.0 - z) * hc
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, w3g, drop_mask):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((Nb, 2 * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, w3g, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _build_mgru_bwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
+                           Nb: int, R: int, bs: int, col_idx: tuple,
+                           interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+
+    def kernel(g_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               s_out, dh_ref, ds_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = u_ref[...]
+        g = g_ref[0].astype(jnp.float32)
+        hq = _q_input(h_prev, qbits)
+        uz = sparse_recurrent_u(hq, u[:, bs:], Nb, R, bs, 1, H, col_idx)
+        z = jax.nn.sigmoid(g[:, H:] + uz)
+        s = z * h_prev
+        sq = _q_input(s, qbits)
+        uh = sparse_recurrent_u(sq, u[:, :bs], Nb, R, bs, 1, H, col_idx)
+        ah = g[:, :H] + uh
+        hc = actf(ah) * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dah = dh * (1.0 - z) * drop_ref[...] * _dact_from_pre(act, ah)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        scatter_add_cols(ds_ref, sparse_dh_parts(dah, u[:, :bs], Nb, R,
+                                                 bs, 1, H, col_idx),
+                         Nb, R, bs, col_idx)
+        ds = ds_ref[...]
+        dz = dh * (h_prev - hc) + ds * h_prev
+        daz = dz * z * (1.0 - z)
+        dpart = sparse_dh_parts(daz, u[:, bs:], Nb, R, bs, 1, H, col_idx)
+        dh_ref[...] = dh * z + ds * z
+        scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx)
+        dg_out[0] = jnp.concatenate([dah, daz], axis=1).astype(dg_out.dtype)
+        s_out[0] = s.astype(s_out.dtype)
+
+    def call(gates_t, w3g, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((Nb, 2 * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                            pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, w3g, drop_mask, h_prev_seq, dhs)
+
+    return call
+
+
+def mgru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
+                           layout, drop_mask: jnp.ndarray,
+                           act: str = "tanh", quant_bits: int = 0,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused minimalGRU recurrence with BLOCK-SPARSE recurrent matrices.
+    gates_t: (T, B, 2H) [wh, wz]; w3g: (Nb, 2*bs, R*bs)."""
+    T, B, G2 = gates_t.shape
+    H = G2 // 2
+    bs, Nb, R = layout.bs, layout.Nb, layout.R
+    col_idx = tuple(int(v) for v in layout.col_idx)
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    if sparse_scan_fits_vmem(B, H, layout, 2) == "bf16":
+        w3g = w3g.astype(jnp.bfloat16)
+    fwd = _build_mgru_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                 col_idx, interpret)
+    bwd = _build_mgru_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs,
+                                 col_idx, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, w3g):
+        return fwd(gates_t, w3g, drop)
+
+    def _fwd_rule(gates_t, w3g):
+        hs = fwd(gates_t, w3g, drop)
+        return hs, (gates_t, w3g, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, w3g, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg, s_seq = bwd(gates_t, w3g, drop, h_prev,
+                        dhs.astype(jnp.float32))
+        M = T * B
+        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else h_prev.reshape(M, H)
+        sq = _q_input(s_seq.reshape(M, H), quant_bits) \
+            if quant_bits > 0 else s_seq.reshape(M, H)
+        dgm = dg.reshape(M, 2 * H)
+        dUh = sparse_dU(dgm[:, :H], sq, layout, 1, interpret)
+        dUz = sparse_dU(dgm[:, H:], hq, layout, 1, interpret)
+        dw3g = jnp.concatenate([dUh, dUz], axis=1)    # [h | z]
+        return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
+
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, w3g)
+
+
 @functools.lru_cache(maxsize=16)
 def _build_rnn_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
                           Nb: int, R: int, bs: int, col_idx: tuple,

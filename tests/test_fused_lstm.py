@@ -266,11 +266,15 @@ def test_fused_gru_quantized_input_matches_scan():
 
 
 def test_model_sparse_recurrence_ligru_rnn_matches_dense():
-    """liGRU/RNN: sparse fused recurrence == plain masked lax.scan,
-    forward and recurrent grads (interpret mode, forced on CPU)."""
-    from pytorch_kaldi_cgs_tpu.models.recurrent import RNN, liGRU
+    """liGRU/RNN/GRU/minimalGRU: sparse fused recurrence == plain masked
+    lax.scan, forward and recurrent grads (interpret mode, forced on
+    CPU). GRU/minimalGRU exercise the two-pass gated-input kernels."""
+    from pytorch_kaldi_cgs_tpu.models.recurrent import (GRU, RNN, liGRU,
+                                                        minimalGRU)
 
-    for cls, prefix, act in ((liGRU, "ligru", "relu"), (RNN, "rnn", "tanh")):
+    for cls, prefix, act in ((liGRU, "ligru", "relu"), (RNN, "rnn", "tanh"),
+                             (GRU, "gru", "tanh"),
+                             (minimalGRU, "minimalgru", "tanh")):
         opts = {prefix + "_lay": "256", prefix + "_drop": "0.0",
                 prefix + "_use_batchnorm": "True",
                 prefix + "_use_laynorm": "False",
