@@ -758,6 +758,19 @@ class _CudnnBase(AcousticModel):
             cur = H * nd
         return {"params": params, "state": {}, "masks": {}}
 
+    def _fused_eligible(self, B, H) -> bool:
+        """Route through the fused Pallas recurrence when it fits VMEM
+        (LSTM_cudnn/RNN_cudnn share the custom cells' kernels after a
+        gate permutation; GRU_cudnn's torch semantics r*(U@h) differ
+        from the r*h@U cell and stay on lax.scan)."""
+        from ..ops.fused_rnn import fits_vmem
+        if not fits_vmem(B, H, self.n_gates):
+            return False
+        if jax.default_backend() in ("tpu", "axon"):
+            return True
+        return str(self.options.get("fused_scan", "")).strip() in (
+            "True", "true", "1")
+
     def _dir(self, params, x, sfx, train):
         proj = jnp.einsum("tbf,gf->tbg", x, params["w_ih_" + sfx])
         if self.bias:
@@ -792,6 +805,24 @@ class LSTM_cudnn(_CudnnBase):
     def _scan(self, proj, W_hh, b_hh):
         B = proj.shape[1]
         H = self.hidden_size
+        if self._fused_eligible(B, H):
+            # same equations as the fused kernel after permuting torch's
+            # (i,f,g,o) gate order to (f,i,o,c) and folding b_hh into the
+            # time-batched projections
+            from ..ops.fused_lstm import lstm_scan_fused
+            perm = [1, 0, 3, 2]   # ifgo -> fioc
+            g = proj + b_hh
+            gs = jnp.split(g, 4, axis=-1)
+            g = jnp.concatenate([gs[k] for k in perm], axis=-1)
+            Us = jnp.split(W_hh, 4, axis=0)
+            U = jnp.concatenate([Us[k] for k in perm], axis=0)
+            hs = lstm_scan_fused(g.astype(jnp.float32),
+                                 U.astype(jnp.float32),
+                                 jnp.ones((B, H), jnp.float32),
+                                 act="tanh",
+                                 interpret=jax.default_backend()
+                                 not in ("tpu", "axon"))
+            return hs.astype(proj.dtype)
         h0 = jnp.zeros((B, H), proj.dtype)
 
         def step(carry, g_t):
@@ -842,6 +873,17 @@ class RNN_cudnn(_CudnnBase):
     def _scan(self, proj, W_hh, b_hh):
         B = proj.shape[1]
         H = self.hidden_size
+        act_name = "tanh" if "tanh" in self.nonlinearity else "relu"
+        if self._fused_eligible(B, H):
+            from ..ops.fused_rnn import rnn_scan_fused
+            g = proj + b_hh
+            hs = rnn_scan_fused(g.astype(jnp.float32),
+                                W_hh.astype(jnp.float32),
+                                jnp.ones((B, H), jnp.float32),
+                                act=act_name,
+                                interpret=jax.default_backend()
+                                not in ("tpu", "axon"))
+            return hs.astype(proj.dtype)
         h0 = jnp.zeros((B, H), proj.dtype)
         act = jnp.tanh if "tanh" in self.nonlinearity else jax.nn.relu
 

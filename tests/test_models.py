@@ -340,3 +340,30 @@ def test_bf16_compute_close_to_f32():
     # bf16 matmul inputs: outputs close but not identical
     assert np.abs(np.array(y32) - np.array(ybf)).max() < 0.05
     assert not np.array_equal(np.array(y32), np.array(ybf))
+
+
+@pytest.mark.parametrize("cls", [M.LSTM_cudnn, M.RNN_cudnn])
+def test_cudnn_fused_matches_scan(cls):
+    """LSTM_cudnn/RNN_cudnn routed through the fused Pallas recurrence
+    (torch ifgo gate order permuted, b_hh folded into the projections)
+    == the plain lax.scan path."""
+    opts = dict(BASE_OPTS, hidden_size="14", num_layers="2", bias="True",
+                batch_first="False", dropout="0.0", bidirectional="True")
+    if cls is M.RNN_cudnn:
+        opts["nonlinearity"] = "tanh"
+    m_plain = cls(dict(opts, fused_scan="False"), 6)
+    m_fused = cls(dict(opts, fused_scan="True"), 6)
+    v = m_plain.init(0)
+    x = jnp.array(np.random.RandomState(0).randn(9, 3, 6), jnp.float32)
+    y1, _ = m_plain.apply(v, x, train=False)
+    y2, _ = m_fused.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+
+    def loss(v_, m):
+        y, _ = m.apply(v_, x, train=False)
+        return jnp.sum(y * y)
+    g1 = jax.tree_util.tree_leaves(jax.grad(lambda v_: loss(v_, m_plain))(v))
+    g2 = jax.tree_util.tree_leaves(jax.grad(lambda v_: loss(v_, m_fused))(v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
