@@ -5,8 +5,10 @@ and prints PER plus decode real-time factors. Run on any backend:
 
     python examples/golden_synth.py [out_dir]
 
-Golden results (CPU, seeds fixed, measured 2026-08-17):
-    {"mlp_per": 0.0, "lstm_hcgs_per": 0.0}
+Golden results (seeds fixed):
+    CPU 2026-08-17:      {"mlp_per": 0.0, "lstm_hcgs_per": 0.0}
+    real TPU 2026-08-18: {"mlp_per": 0.0, "lstm_hcgs_per": 0.0}
+                         (61s / 119s wall through the RPC tunnel)
 — both the dense MLP and the HCGS(16/4-block 25/50%)+8-bit LSTM learn
 the synthetic task to 0.0 PER through the complete pipeline
 (train → newbob → forward → prior normalization → phone-loop decode →
