@@ -135,9 +135,18 @@ def measure_block_sparse_speedup(drop=87.5, width=2048, M=2560):
         ys = BS.block_sparse_matmul_v3(c, w3, None, layout, G, tile_m=256)
         return c + jnp.sum(ys, axis=(0, 2))[:, None] * 1e-9
 
-    td = device_loop_time(dense_body, x, n_lo=3, n_hi=18)
-    tv = device_loop_time(v3_body, x, n_lo=3, n_hi=18)
-    return td / tv
+    # FLOP floor: the dense op cannot run faster than 2x the chip's
+    # physical peak; a measurement below it is a degenerate differencing
+    # artifact (contention burst), not a real time. Retry once, else
+    # report nothing rather than nonsense (a driver run once printed
+    # block_sparse_speedup=0.0 from exactly this failure mode).
+    dense_floor = (2 * G * M * width * width) / (2 * 197e12)
+    for _ in range(2):
+        td = device_loop_time(dense_body, x, n_lo=3, n_hi=18)
+        tv = device_loop_time(v3_body, x, n_lo=3, n_hi=18)
+        if td > dense_floor and tv > dense_floor / 8 and 0.1 < td / tv < 30:
+            return td / tv
+    return None
 
 
 def main():
@@ -169,7 +178,9 @@ def main():
     bs_speedup = None
     if _time.time() - t_start < 430:
         try:
-            bs_speedup = round(measure_block_sparse_speedup(), 3)
+            bs_speedup = measure_block_sparse_speedup()
+            if bs_speedup is not None:
+                bs_speedup = round(bs_speedup, 3)
         except Exception:
             bs_speedup = None
     baseline = 12900.0  # ref ~87 s/epoch TIMIT (1.12M frames), MLP on GPU
