@@ -328,6 +328,9 @@ class _RecurrentBase(AcousticModel):
 
     def _fused_ok(self, use_ln, act_name, B, H, n_gates) -> bool:
         """Generic fused-recurrence eligibility (liGRU/RNN family)."""
+        from ..parallel.seqpipe import seq_parallel_context
+        if seq_parallel_context() is not None:
+            return False
         if not opt_bool(self.options, self.prefix + "_fused_scan", True):
             return False
         if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
@@ -344,6 +347,9 @@ class _RecurrentBase(AcousticModel):
         real TPU backend or interpret-capable tests forcing it via the
         <prefix>_fused_scan option."""
         if self.prefix != "lstm":
+            return False
+        from ..parallel.seqpipe import seq_parallel_context
+        if seq_parallel_context() is not None:
             return False
         if not opt_bool(self.options, self.prefix + "_fused_scan", True):
             return False
@@ -404,10 +410,33 @@ class _RecurrentBase(AcousticModel):
                   act_name="", layer=-1):
         raise NotImplementedError
 
+    def _scan_cell(self, step, params, bargs, carry0, gates_t):
+        """Run the cell recurrence: ``step(params, bargs, carry, g_t) ->
+        (carry, h)``, pure. Dispatches to the sequence-pipelined scan
+        (time axis sharded over the mesh's "seq" axis, ppermute carry
+        handoff) when a seq_parallel context is active, else plain
+        lax.scan."""
+        from ..parallel.seqpipe import seq_parallel_context, seq_pipeline_scan
+        ctx = seq_parallel_context()
+        if ctx is not None:
+            _, hs = seq_pipeline_scan(
+                step, params, bargs, carry0, gates_t, mesh=ctx.mesh,
+                axis=ctx.axis, microbatches=ctx.microbatches)
+            return hs
+        _, hs = jax.lax.scan(lambda c, g: step(params, bargs, c, g),
+                             carry0, gates_t, unroll=self.scan_unroll)
+        return hs
+
     def _sparse_rec_layout(self, use_ln, act_name, B, H, layer):
         """The layer's block-sparse fused-recurrence layout, or None when
         ineligible (laynorm in-scan, unsupported act, VMEM overflow at
-        this batch size, CPU backend without the force flag)."""
+        this batch size, CPU backend without the force flag, or an
+        active seq_parallel context — the fused kernels run the whole T
+        loop in one kernel with zero initial state, so time-sharded
+        slabs use the lax.scan cell form instead)."""
+        from ..parallel.seqpipe import seq_parallel_context
+        if seq_parallel_context() is not None:
+            return None
         layout = getattr(self, "_rec_layouts", {}).get(layer)
         if layout is None:
             return None
@@ -519,21 +548,23 @@ class LSTM(_RecurrentBase):
                                    interpret=interpret)
         h0 = jnp.zeros((B, H), gates_t.dtype)
 
-        def step(carry, g_t):
+        def step(params, bargs, carry, g_t):
+            U_, ln_ = params
+            (dm,) = bargs
             h, c = carry
-            u = self._rmm(h, U)                                   # (B,4H)
+            u = self._rmm(h, U_)                                  # (B,4H)
             gf, gi, go, gc = jnp.split(g_t + u, 4, axis=-1)
             f = jax.nn.sigmoid(gf)
             i = jax.nn.sigmoid(gi)
             o = jax.nn.sigmoid(go)
-            c = i * act(gc) * drop_mask + f * c                   # ref :1090-1091
+            c = i * act(gc) * dm + f * c                          # ref :1090-1091
             h = o * act(c)
             if use_ln:
-                h = layer_norm(ln_p, h)
+                h = layer_norm(ln_, h)
             return (h, c), h
 
-        _, hs = jax.lax.scan(step, (h0, h0), gates_t, unroll=self.scan_unroll)
-        return hs
+        return self._scan_cell(step, (U, ln_p), (drop_mask,), (h0, h0),
+                               gates_t)
 
 
 class GRU(_RecurrentBase):
@@ -566,21 +597,22 @@ class GRU(_RecurrentBase):
         wh, wz, wr = proj
         gates_t = jnp.concatenate([wh, wz, wr], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
-        Uh, Uz, Ur = jnp.split(U, 3, axis=0)
 
-        def step(h, g_t):
+        def step(params, bargs, h, g_t):
+            (Uh, Uz, Ur), ln_ = params
+            (dm,) = bargs
             gh, gz, gr = jnp.split(g_t, 3, axis=-1)
             z = jax.nn.sigmoid(gz + self._rmm(h, Uz))
             r = jax.nn.sigmoid(gr + self._rmm(h, Ur))
             at = gh + self._rmm(r * h, Uh)
-            hcand = act(at) * drop_mask
+            hcand = act(at) * dm
             h = z * h + (1 - z) * hcand
             if use_ln:
-                h = layer_norm(ln_p, h)
+                h = layer_norm(ln_, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, gates_t, unroll=self.scan_unroll)
-        return hs
+        return self._scan_cell(step, (tuple(jnp.split(U, 3, axis=0)), ln_p),
+                               (drop_mask,), h0, gates_t)
 
 
 class liGRU(_RecurrentBase):
@@ -614,19 +646,20 @@ class liGRU(_RecurrentBase):
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
-        Uh, Uz = jnp.split(U, 2, axis=0)
 
-        def step(h, g_t):
+        def step(params, bargs, h, g_t):
+            (Uh, Uz), ln_ = params
+            (dm,) = bargs
             gh, gz = jnp.split(g_t, 2, axis=-1)
             z = jax.nn.sigmoid(gz + self._rmm(h, Uz))
-            hcand = act(gh + self._rmm(h, Uh)) * drop_mask
+            hcand = act(gh + self._rmm(h, Uh)) * dm
             h = z * h + (1 - z) * hcand
             if use_ln:
-                h = layer_norm(ln_p, h)
+                h = layer_norm(ln_, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, gates_t, unroll=self.scan_unroll)
-        return hs
+        return self._scan_cell(step, (tuple(jnp.split(U, 2, axis=0)), ln_p),
+                               (drop_mask,), h0, gates_t)
 
 
 class minimalGRU(_RecurrentBase):
@@ -660,20 +693,21 @@ class minimalGRU(_RecurrentBase):
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
-        Uh, Uz = jnp.split(U, 2, axis=0)
 
-        def step(h, g_t):
+        def step(params, bargs, h, g_t):
+            (Uh, Uz), ln_ = params
+            (dm,) = bargs
             gh, gz = jnp.split(g_t, 2, axis=-1)
             z = jax.nn.sigmoid(gz + self._rmm(h, Uz))
             at = gh + self._rmm(z * h, Uh)
-            hcand = act(at) * drop_mask
+            hcand = act(at) * dm
             h = z * h + (1 - z) * hcand
             if use_ln:
-                h = layer_norm(ln_p, h)
+                h = layer_norm(ln_, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, gates_t, unroll=self.scan_unroll)
-        return hs
+        return self._scan_cell(step, (tuple(jnp.split(U, 2, axis=0)), ln_p),
+                               (drop_mask,), h0, gates_t)
 
 
 class RNN(_RecurrentBase):
@@ -705,15 +739,16 @@ class RNN(_RecurrentBase):
         wh = proj[0]
         h0 = jnp.zeros((B, H), wh.dtype)
 
-        def step(h, g_t):
-            at = g_t + self._rmm(h, U)
-            h = act(at) * drop_mask
+        def step(params, bargs, h, g_t):
+            U_, ln_ = params
+            (dm,) = bargs
+            at = g_t + self._rmm(h, U_)
+            h = act(at) * dm
             if use_ln:
-                h = layer_norm(ln_p, h)
+                h = layer_norm(ln_, h)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, wh, unroll=self.scan_unroll)
-        return hs
+        return self._scan_cell(step, (U, ln_p), (drop_mask,), h0, wh)
 
 
 # ---------------------------------------------------------------------------

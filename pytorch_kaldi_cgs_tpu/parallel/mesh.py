@@ -26,19 +26,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1,
+              seq_axis: int = 1) -> Mesh:
     """1-D data mesh by default; pass model_axis>1 to split off a tensor-
-    parallel axis (n must be divisible)."""
+    parallel axis, seq_axis>1 for a sequence-pipeline axis (see
+    parallel/seqpipe.py). n must be divisible by the product."""
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = np.array(devices[:n])
-    if model_axis > 1:
-        if n % model_axis:
-            raise ValueError("n_devices %d not divisible by model_axis %d"
-                             % (n, model_axis))
-        return Mesh(devices.reshape(n // model_axis, model_axis),
-                    ("data", "model"))
-    return Mesh(devices.reshape(n, 1), ("data", "model"))
+    split = model_axis * seq_axis
+    if n % split:
+        raise ValueError(
+            "n_devices %d not divisible by model_axis %d x seq_axis %d"
+            % (n, model_axis, seq_axis))
+    if seq_axis > 1:
+        return Mesh(devices.reshape(n // split, model_axis, seq_axis),
+                    ("data", "model", "seq"))
+    return Mesh(devices.reshape(n // split, model_axis), ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int) -> NamedSharding:

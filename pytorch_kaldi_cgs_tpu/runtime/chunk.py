@@ -172,11 +172,26 @@ class ChunkRunner:
         # reference's DataParallel surface (ref: utils.py:1781-1784).
         self.model_parallel = max(
             int(config["exp"].get("model_parallel", "1") or 1), 1)
+        # [exp] seq_parallel = S pipelines the recurrent scan's time axis
+        # over a "seq" mesh axis (parallel/seqpipe.py): each device holds
+        # a T/S slab, carries hop devices via ppermute.
+        self.seq_parallel = max(
+            int(config["exp"].get("seq_parallel", "1") or 1), 1)
         if jax.device_count() > 1 and (
-                self.model_parallel > 1 or
+                self.model_parallel > 1 or self.seq_parallel > 1 or
                 strtobool(config["exp"].get("multi_gpu", "False"))):
             from ..parallel import make_mesh
-            self.mesh = make_mesh(model_axis=self.model_parallel)
+            self.mesh = make_mesh(model_axis=self.model_parallel,
+                                  seq_axis=self.seq_parallel)
+
+    def _seq_ctx(self):
+        """Context manager enabling sequence-pipelined scans inside the
+        jitted steps (no-op unless the mesh has a seq axis > 1)."""
+        if self.mesh is not None and self.mesh.shape.get("seq", 1) > 1:
+            from ..parallel.seqpipe import seq_parallel
+            return seq_parallel(self.mesh)
+        import contextlib
+        return contextlib.nullcontext()
 
     def shard_batch(self, inp, mask=None):
         """Place a batch on the data mesh (no-op single device). Seq
@@ -234,8 +249,9 @@ class ChunkRunner:
                 def loss_fn(params):
                     vs = {a: {**variables[a], "params": params[a]}
                           for a in variables}
-                    outs, new_states = graph.forward(
-                        vs, inp, train=True, rng=rng, frame_mask=mask)
+                    with self._seq_ctx():
+                        outs, new_states = graph.forward(
+                            vs, inp, train=True, rng=rng, frame_mask=mask)
                     return outs["loss_final"], (outs["err_final"], new_states)
 
                 (loss, (err, new_states)), grads = jax.value_and_grad(
@@ -265,8 +281,9 @@ class ChunkRunner:
             graph = self.graph
 
             def step(variables, inp, mask):
-                outs, _ = graph.forward(variables, inp, train=False,
-                                        frame_mask=mask)
+                with self._seq_ctx():
+                    outs, _ = graph.forward(variables, inp, train=False,
+                                            frame_mask=mask)
                 return outs["loss_final"], outs["err_final"]
 
             self._eval_step = jax.jit(step)
@@ -277,8 +294,9 @@ class ChunkRunner:
             graph = self.graph
 
             def step(variables, inp):
-                outs, _ = graph.forward(variables, inp, train=False,
-                                        forward_outs=forward_outs)
+                with self._seq_ctx():
+                    outs, _ = graph.forward(variables, inp, train=False,
+                                            forward_outs=forward_outs)
                 return {o: outs[o] for o in forward_outs}
 
             self._fwd_step = jax.jit(step)

@@ -128,6 +128,7 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    pattern_nnz: int = 4, pattern_num: int = 8,
                    multitask_mono: bool = False,
                    multi_gpu: bool = False, model_parallel: int = 1,
+                   seq_parallel: int = 1,
                    extra_arch_lines: Optional[str] = None) -> str:
     """Create <cfg_path> wiring the synthetic dataset at ``data_root``
     into a train/valid/forward experiment with the given flagship arch
@@ -266,6 +267,7 @@ seed = {seed}
 use_cuda = False
 multi_gpu = {multi_gpu}
 model_parallel = {model_parallel}
+seq_parallel = {seq_parallel}
 save_gpumem = False
 N_epochs_tr = {n_epochs}{guided_ep}
 
@@ -319,6 +321,7 @@ norm_vars = False
            if apply_guided_ep is not None else "",
            out_folder=out_folder, seed=seed, n_epochs=n_epochs,
            multi_gpu=multi_gpu, model_parallel=model_parallel,
+           seq_parallel=seq_parallel,
            ds1=dataset_block(1, "synth_tr", "train"),
            ds2=dataset_block(2, "synth_dev", "dev"),
            ds3=dataset_block(3, "synth_test", "test"),

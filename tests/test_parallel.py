@@ -21,8 +21,12 @@ def test_make_mesh_shapes():
     assert dict(mesh.shape) == {"data": 4, "model": 2}
     mesh1 = make_mesh(8)
     assert dict(mesh1.shape) == {"data": 8, "model": 1}
+    mesh2 = make_mesh(8, seq_axis=4)
+    assert dict(mesh2.shape) == {"data": 2, "model": 1, "seq": 4}
     with pytest.raises(ValueError):
         make_mesh(6, model_axis=4)
+    with pytest.raises(ValueError):
+        make_mesh(6, seq_axis=4)
 
 
 def test_sharding_rules_split_weights():
