@@ -12,6 +12,7 @@ from .mlp import MLP
 from .recurrent import (GRU, LSTM, RNN, GRU_cudnn, LSTM_cudnn, RNN_cudnn,
                         liGRU, minimalGRU)
 from .cnn import CNN, SincNet
+from .sru import SRU
 from . import layers
 
 _REGISTRY = {

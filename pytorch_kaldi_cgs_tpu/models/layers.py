@@ -100,6 +100,24 @@ def layer_norm(params: Dict[str, Array], x: Array, eps: float = 1e-6) -> Array:
     return params["gamma"] * (x - mean) / (std + eps) + params["beta"]
 
 
+def layer_norm_safe(params: Dict[str, Array], x: Array,
+                    eps: float = 1e-5) -> Array:
+    """LayerNorm with eps inside the sqrt: ``(x-mean)/sqrt(var+eps)``.
+
+    The reference-parity :func:`layer_norm` divides by ``std + eps``
+    like the reference's LayerNorm (ref: neural_networks.py:40-51);
+    its backward is d(sqrt(var)) = 1/(2 sqrt(var)) = inf on a constant
+    row. Bucketed chunk batches contain exactly-zero padded frames, and
+    cells whose zero-input output is exactly zero (SRU: u, c, skip all
+    vanish) feed such rows into the next layer's norm — this variant
+    keeps those gradients finite (the loss mask already zeroes their
+    contribution, but 0 * inf = nan)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return params["gamma"] * (x - mean) * jax.lax.rsqrt(var + eps) \
+        + params["beta"]
+
+
 def layer_norm_2d(params: Dict[str, Array], x: Array, eps: float = 1e-6) -> Array:
     """LayerNorm over the trailing (C, L) dims (CNN/SincNet variant,
     ref: neural_networks.py:1985-1987 LayerNorm([N_filt, L]))."""

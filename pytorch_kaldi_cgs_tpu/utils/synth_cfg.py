@@ -204,6 +204,34 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
 \terr_final=cost_err(out_dnn1,lab_cd)""" % model
         forward_out = "out_dnn1"
         seq_flag = "True"
+    elif model == "SRU":
+        arch1 = ("arch_name = SRU_layers\narch_proto = proto/SRU.proto\n"
+                 "arch_library = pytorch_kaldi_cgs_tpu.models\n"
+                 "arch_class = SRU\narch_pretrain_file = none\n"
+                 "arch_freeze = False\narch_seq_model = True\n"
+                 "sru_hidden_size = %d\nsru_num_layers = 2\n"
+                 "sru_dropout = 0.1\nsru_rnn_dropout = 0.1\n"
+                 "sru_use_tanh = True\nsru_use_relu = False\n"
+                 "sru_use_selu = False\nsru_weight_norm = False\n"
+                 "sru_layer_norm = True\nsru_bidirectional = False\n"
+                 "sru_is_input_normalized = True\nsru_has_skip_term = True\n"
+                 "sru_rescale = False\nsru_highway_bias = -1.0\n"
+                 "sru_n_proj = 0\n" % hidden) + _OPT.format(lr=lr, opt=opt)
+        arch2 = ("arch_name = MLP_out\narch_proto = proto/MLP.proto\n"
+                 "arch_library = pytorch_kaldi_cgs_tpu.models\narch_class = MLP\n"
+                 "arch_pretrain_file = none\narch_freeze = False\n"
+                 "arch_seq_model = False\n"
+                 "dnn_lay = N_out_lab_cd\ndnn_drop = 0.0\n"
+                 "dnn_use_laynorm_inp = False\ndnn_use_batchnorm_inp = False\n"
+                 "dnn_use_batchnorm = False\ndnn_use_laynorm = False\n"
+                 "dnn_act = softmax\n") + _OPT.format(lr=lr, opt=opt)
+        arch_secs = "[architecture1]\n" + arch1 + "\n[architecture2]\n" + arch2
+        model_field = """model = out_rnn=compute(SRU_layers,feats)
+\tout_dnn1=compute(MLP_out,out_rnn)
+\tloss_final=cost_nll(out_dnn1,lab_cd)
+\terr_final=cost_err(out_dnn1,lab_cd)"""
+        forward_out = "out_dnn1"
+        seq_flag = "True"
     else:
         raise ValueError("unknown flagship model %r" % model)
 
