@@ -133,6 +133,28 @@ def build_hcgs_masks(shapes: Dict[str, tuple], blocks, sparse,
             for name, s in shapes.items()}
 
 
+class _StreamState:
+    """Trace-time carry routing for streaming inference: recurrent
+    layers pop their initial carry (FIFO, layers trace in order) and
+    push their final carry."""
+
+    def __init__(self, carries_in):
+        self.carries_in = None if carries_in is None else list(carries_in)
+        self.carries_out: list = []
+
+    def next_carry(self, default):
+        if self.carries_in is None or not self.carries_in:
+            return default
+        return self.carries_in.pop(0)
+
+
+_STREAM: list = []
+
+
+def stream_state():
+    return _STREAM[-1] if _STREAM else None
+
+
 class AcousticModel:
     """Base: subclasses set ``out_dim`` in __init__ and implement
     ``init`` / ``apply``.
@@ -164,6 +186,34 @@ class AcousticModel:
     def apply(self, variables: Dict[str, Any], x: Array, *, train: bool,
               rng=None):
         raise NotImplementedError
+
+    def apply_streaming(self, variables: Dict[str, Any], x: Array,
+                        carries=None):
+        """Chunked inference with carried recurrent state (impossible in
+        the reference — its forward is whole-utterance only). ``x`` is
+        one chunk ``(T_c, B, F)`` (or flat frames for frame-wise
+        models); ``carries`` is the list returned by the previous call
+        (None = fresh streams, zero state). Returns ``(y, carries)``
+        where feeding the chunks back-to-back reproduces the
+        full-utterance ``apply(train=False)`` output exactly.
+
+        Eligibility: unidirectional models only (bidirectional needs
+        the future); frame-wise models (MLP/CNN) stream trivially with
+        empty carries. Fused one-kernel recurrences are bypassed (they
+        assume zero initial state) — the lax.scan cell form runs
+        instead, which at streaming chunk sizes is latency-bound
+        anyway."""
+        if getattr(self, "bidir", False) or getattr(self, "bidirectional",
+                                                    False):
+            raise ValueError("bidirectional models cannot stream (%s)"
+                             % self.arch_name)
+        ss = _StreamState(carries)
+        _STREAM.append(ss)
+        try:
+            y, _ = self.apply(variables, x, train=False)
+        finally:
+            _STREAM.pop()
+        return y, ss.carries_out
 
     # -- host-side compression hooks (called between chunks) ---------------
     def refresh_guided_masks(self, variables: Dict[str, Any], seed: int = 0

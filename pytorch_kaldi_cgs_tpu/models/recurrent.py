@@ -329,7 +329,8 @@ class _RecurrentBase(AcousticModel):
     def _fused_ok(self, use_ln, act_name, B, H, n_gates) -> bool:
         """Generic fused-recurrence eligibility (liGRU/RNN family)."""
         from ..parallel.seqpipe import seq_parallel_context
-        if seq_parallel_context() is not None:
+        from .base import stream_state
+        if seq_parallel_context() is not None or stream_state() is not None:
             return False
         if not opt_bool(self.options, self.prefix + "_fused_scan", True):
             return False
@@ -349,7 +350,8 @@ class _RecurrentBase(AcousticModel):
         if self.prefix != "lstm":
             return False
         from ..parallel.seqpipe import seq_parallel_context
-        if seq_parallel_context() is not None:
+        from .base import stream_state
+        if seq_parallel_context() is not None or stream_state() is not None:
             return False
         if not opt_bool(self.options, self.prefix + "_fused_scan", True):
             return False
@@ -417,14 +419,20 @@ class _RecurrentBase(AcousticModel):
         handoff) when a seq_parallel context is active, else plain
         lax.scan."""
         from ..parallel.seqpipe import seq_parallel_context, seq_pipeline_scan
+        from .base import stream_state
         ctx = seq_parallel_context()
         if ctx is not None:
             _, hs = seq_pipeline_scan(
                 step, params, bargs, carry0, gates_t, mesh=ctx.mesh,
                 axis=ctx.axis, microbatches=ctx.microbatches)
             return hs
-        _, hs = jax.lax.scan(lambda c, g: step(params, bargs, c, g),
-                             carry0, gates_t, unroll=self.scan_unroll)
+        ss = stream_state()
+        if ss is not None:
+            carry0 = ss.next_carry(carry0)
+        fin, hs = jax.lax.scan(lambda c, g: step(params, bargs, c, g),
+                               carry0, gates_t, unroll=self.scan_unroll)
+        if ss is not None:
+            ss.carries_out.append(fin)
         return hs
 
     def _sparse_rec_layout(self, use_ln, act_name, B, H, layer):
@@ -435,7 +443,8 @@ class _RecurrentBase(AcousticModel):
         loop in one kernel with zero initial state, so time-sharded
         slabs use the lax.scan cell form instead)."""
         from ..parallel.seqpipe import seq_parallel_context
-        if seq_parallel_context() is not None:
+        from .base import stream_state
+        if seq_parallel_context() is not None or stream_state() is not None:
             return None
         layout = getattr(self, "_rec_layouts", {}).get(layer)
         if layout is None:
@@ -798,6 +807,9 @@ class _CudnnBase(AcousticModel):
         (LSTM_cudnn/RNN_cudnn share the custom cells' kernels after a
         gate permutation; GRU_cudnn's torch semantics r*(U@h) differ
         from the r*h@U cell and stay on lax.scan)."""
+        from .base import stream_state
+        if stream_state() is not None:
+            return False  # fused kernels assume zero initial state
         from ..ops.fused_rnn import fits_vmem
         if not fits_vmem(B, H, self.n_gates):
             return False
@@ -813,6 +825,18 @@ class _CudnnBase(AcousticModel):
         W_hh = params["w_hh_" + sfx]
         b_hh = params.get("b_hh_" + sfx, 0.0)
         return self._scan(proj, W_hh, b_hh)
+
+    def _stream_scan(self, step, carry0, xs):
+        """lax.scan that honors an active streaming context (initial
+        carry in, final carry out)."""
+        from .base import stream_state
+        ss = stream_state()
+        if ss is not None:
+            carry0 = ss.next_carry(carry0)
+        fin, hs = jax.lax.scan(step, carry0, xs, unroll=self.scan_unroll)
+        if ss is not None:
+            ss.carries_out.append(fin)
+        return hs
 
     def apply(self, variables, x, *, train: bool, rng=None):
         params = variables["params"]
@@ -871,8 +895,7 @@ class LSTM_cudnn(_CudnnBase):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        _, hs = jax.lax.scan(step, (h0, h0), proj, unroll=self.scan_unroll)
-        return hs
+        return self._stream_scan(step, (h0, h0), proj)
 
 
 class GRU_cudnn(_CudnnBase):
@@ -894,8 +917,7 @@ class GRU_cudnn(_CudnnBase):
             h = (1 - z) * n + z * h
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, proj, unroll=self.scan_unroll)
-        return hs
+        return self._stream_scan(step, h0, proj)
 
 
 class RNN_cudnn(_CudnnBase):
@@ -926,5 +948,4 @@ class RNN_cudnn(_CudnnBase):
             h = act(g_t + h @ W_hh.T + b_hh)
             return h, h
 
-        _, hs = jax.lax.scan(step, h0, proj, unroll=self.scan_unroll)
-        return hs
+        return self._stream_scan(step, h0, proj)

@@ -168,7 +168,15 @@ class SRU(AcousticModel):
             ar, br = rhs
             return al * ar, ar * bl + br
 
-        _, c = jax.lax.associative_scan(combine, (f, (1.0 - f) * u), axis=0)
+        A, c = jax.lax.associative_scan(combine, (f, (1.0 - f) * u), axis=0)
+        from .base import stream_state
+        ss = stream_state()
+        if ss is not None:
+            # composing a nonzero entry state c0 is one more affine map:
+            # c_t = B_t + A_t * c0 (A is the prefix forget product)
+            c0 = ss.next_carry(jnp.zeros(c.shape[1:], c.dtype))
+            c = c + A * c0
+            ss.carries_out.append(c[-1])
 
         out = r * self.act(c)
         if self.skip:

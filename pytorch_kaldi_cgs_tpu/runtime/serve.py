@@ -96,3 +96,97 @@ class Recognizer:
                 for l in lengths_samples])
         return batched_viterbi_decode(np.asarray(logp), frame_lengths,
                                       self.hmm, acwt=self.acwt)
+
+
+class StreamingRecognizer:
+    """Chunked (incremental) recognition with carried recurrent state —
+    a capability the reference cannot express: its forward path is
+    whole-utterance only (one sentence per batch, ref core.py:71-72).
+
+    Feed fixed-size feature chunks ``(T_c, B, F)`` through
+    :meth:`accept`; the model's recurrent state (h/c per layer) carries
+    across calls via ``AcousticModel.apply_streaming``, so the
+    concatenated streamed posteriors are exactly the full-utterance
+    posteriors (test-pinned). Greedy partial hypotheses are available
+    after every chunk; :meth:`finalize` runs batched Viterbi over the
+    accumulated posteriors for the final answer.
+
+    Feature normalization must be streaming-safe (global CMVN or
+    precomputed stats) — per-utterance CMVN needs the whole utterance
+    by definition and belongs to the batch :class:`Recognizer`.
+    """
+
+    def __init__(self, model, variables, hmm: Optional[PhoneLoopHMM] = None,
+                 log_priors: Optional[np.ndarray] = None, acwt: float = 1.0,
+                 seq_model: bool = True):
+        self.model = model
+        self.variables = variables
+        self.hmm = hmm
+        self.log_priors = None if log_priors is None else jnp.asarray(log_priors)
+        self.acwt = acwt
+        self.seq_model = seq_model
+        self._step_first = None
+        self._step_cont = None
+
+    def _posteriors(self, variables, chunk, carries):
+        if self.seq_model:
+            y, carries = self.model.apply_streaming(variables, chunk, carries)
+        else:
+            T_c, B, F = chunk.shape
+            y, carries = self.model.apply_streaming(
+                variables, chunk.reshape(T_c * B, F), carries)
+            y = y.reshape(T_c, B, -1)
+        if self.log_priors is not None:
+            y = y - self.log_priors
+        return y, carries
+
+    def start(self) -> dict:
+        """A fresh stream session (per parallel batch of streams)."""
+        return {"carries": None, "chunks": []}
+
+    def accept(self, session: dict, feats_chunk: np.ndarray) -> np.ndarray:
+        """Process one (T_c, B, F) feature chunk; returns its
+        prior-normalized log-posteriors (T_c, B, C) and advances the
+        session state."""
+        chunk = jnp.asarray(feats_chunk, jnp.float32)
+        if session["carries"] is None:
+            if self._step_first is None:
+                self._step_first = jax.jit(
+                    lambda v, c: self._posteriors(v, c, None))
+            y, carries = self._step_first(self.variables, chunk)
+        else:
+            if self._step_cont is None:
+                self._step_cont = jax.jit(self._posteriors)
+            y, carries = self._step_cont(self.variables, chunk,
+                                         session["carries"])
+        session["carries"] = carries
+        session["chunks"].append(np.asarray(y))
+        return session["chunks"][-1]
+
+    def partial(self, session: dict) -> List[List[int]]:
+        """Greedy (argmax-frame) partial hypotheses, deduped consecutive
+        — the cheap incremental readout between chunks."""
+        logp = np.concatenate(session["chunks"], axis=0)  # (T, B, C)
+        ids = logp.argmax(axis=2)
+        out = []
+        for b in range(ids.shape[1]):
+            seq, prev = [], None
+            for v in ids[:, b]:
+                if v != prev:
+                    seq.append(int(v))
+                    prev = v
+            out.append(seq)
+        return out
+
+    def finalize(self, session: dict,
+                 frame_lengths: Optional[Sequence[int]] = None
+                 ) -> List[List[int]]:
+        """Viterbi decode over everything streamed so far."""
+        if self.hmm is None:
+            return self.partial(session)
+        logp = np.concatenate(session["chunks"], axis=0).transpose(1, 0, 2)
+        B, T = logp.shape[0], logp.shape[1]
+        if frame_lengths is None:
+            frame_lengths = np.full(B, T)
+        return batched_viterbi_decode(logp, np.asarray(frame_lengths),
+                                      self.hmm, acwt=self.acwt)
