@@ -143,21 +143,23 @@ def _build_bwd(T: int, B: int, H: int, act: str, qbits: int,
                interpret: bool):
     """Reverse-time BPTT kernel. Grid (T,) with index map t -> T-1-t.
     Recomputes the gate pre-activations from (h_{t-1}, gates_t); carries
-    (dh, dc) in scratch; accumulates dU in a VMEM f32 buffer written out
-    on the last step."""
+    (dh, dc) in scratch. dU is NOT accumulated here: the per-step
+    dU += dg^T @ h_prev dot has contraction K=B (16-ish) — MXU-starved —
+    and measured ~40% of the kernel; the caller computes dU as ONE
+    (4H, T*B)@(T*B, H) matmul over the emitted dg sequence instead
+    (the same split the sparse variant uses via sparse_dU)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
     def kernel(g_ref, u_ref, drop_ref, hprev_ref, cprev_ref, dh_in_ref,
-               dg_out, du_out, dh_ref, dc_ref, du_acc):
+               dg_out, dh_ref, dc_ref):
         t = pl.program_id(0)          # 0..T-1, processing step T-1-t
 
         @pl.when(t == 0)
         def _():
             dh_ref[...] = jnp.zeros_like(dh_ref)
             dc_ref[...] = jnp.zeros_like(dc_ref)
-            du_acc[...] = jnp.zeros_like(du_acc)
 
         h_prev = _q_input(hprev_ref[0].astype(jnp.float32), qbits)
         c_prev = cprev_ref[0].astype(jnp.float32)
@@ -185,16 +187,9 @@ def _build_bwd(T: int, B: int, H: int, act: str, qbits: int,
         dh_prev = jax.lax.dot_general(dg, u_ref[...],
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        du_acc[...] += jax.lax.dot_general(dg, h_prev,
-                                           (((0,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
         dh_ref[...] = dh_prev
         dc_ref[...] = dc * gf
         dg_out[0] = dg.astype(dg_out.dtype)
-
-        @pl.when(t == pl.num_programs(0) - 1)
-        def _():
-            du_out[...] = du_acc[...].astype(du_out.dtype)
 
     def call(gates_t, U, drop_mask, h_prev_seq, c_prev_seq, dhs):
         rev = lambda t: (T - 1 - t, 0, 0)
@@ -209,23 +204,16 @@ def _build_bwd(T: int, B: int, H: int, act: str, qbits: int,
                 pl.BlockSpec((1, B, H), rev),
                 pl.BlockSpec((1, B, H), rev),
             ],
-            out_specs=[
-                pl.BlockSpec((1, B, 4 * H), rev),
-                pl.BlockSpec((4 * H, H), lambda t: (0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
-                jax.ShapeDtypeStruct((4 * H, H), jnp.float32),
-            ],
+            out_specs=pl.BlockSpec((1, B, 4 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((B, H), jnp.float32),
                 pltpu.VMEM((B, H), jnp.float32),
-                pltpu.VMEM((4 * H, H), jnp.float32),
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=6 * T * B * H * 4 * H,
-                bytes_accessed=(2 * T * B * 4 * H + 2 * 4 * H * H
+                flops=4 * T * B * H * 4 * H,
+                bytes_accessed=(2 * T * B * 4 * H + 4 * H * H
                                 + 4 * T * B * H) * 4,
                 transcendentals=2 * T * B * H * 4),
         )(gates_t, U, drop_mask, h_prev_seq, c_prev_seq, dhs)
@@ -234,10 +222,10 @@ def _build_bwd(T: int, B: int, H: int, act: str, qbits: int,
 
 
 def fits_vmem(B: int, H: int, train: bool) -> bool:
-    """Conservative VMEM budget check (16MB/core, leave headroom)."""
+    """Conservative VMEM budget check (16MB/core, leave headroom).
+    dU no longer lives in the bwd kernel (accumulated outside over the
+    unrolled batch), so train costs the same VMEM as inference."""
     weights = 4 * H * H * 4                    # U f32
-    if train:
-        weights *= 2                           # + dU accumulator
     work = 8 * B * H * 4 + B * 4 * H * 4 * 3
     return weights + work < 12 * 1024 * 1024
 
@@ -275,8 +263,14 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
-        dg, dU = bwd(gates_t, U, drop, h_prev, c_prev,
-                     dhs.astype(jnp.float32))
+        dg = bwd(gates_t, U, drop, h_prev, c_prev,
+                 dhs.astype(jnp.float32))
+        # dU over the unrolled (T*B) batch: one K=T*B matmul instead of
+        # T MXU-starved K=B dots inside the kernel
+        hq = _q_input(h_prev, quant_bits).reshape(T * B, H)
+        dU = jax.lax.dot_general(dg.reshape(T * B, 4 * H), hq,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
         return dg.astype(gates_t.dtype), dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
