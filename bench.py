@@ -140,7 +140,9 @@ def measure_block_sparse_speedup(drop=87.5, width=2048, M=2560):
     # artifact (contention burst), not a real time. Retry once, else
     # report nothing rather than nonsense (a driver run once printed
     # block_sparse_speedup=0.0 from exactly this failure mode).
-    dense_floor = (2 * G * M * width * width) / (2 * 197e12)
+    import jax
+    peak = PEAK_BF16_TFLOPS.get(jax.devices()[0].device_kind, 197.0)
+    dense_floor = (2 * G * M * width * width) / (2 * peak * 1e12)
     for _ in range(2):
         td = device_loop_time(dense_body, x, n_lo=3, n_hi=18)
         tv = device_loop_time(v3_body, x, n_lo=3, n_hi=18)

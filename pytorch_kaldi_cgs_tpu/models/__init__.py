@@ -24,6 +24,7 @@ _REGISTRY = {
     "RNN": RNN,
     "CNN": CNN,
     "SincNet": SincNet,
+    "SRU": SRU,
     "LSTM_cudnn": LSTM_cudnn,
     "GRU_cudnn": GRU_cudnn,
     "RNN_cudnn": RNN_cudnn,

@@ -207,6 +207,13 @@ class AcousticModel:
                                                     False):
             raise ValueError("bidirectional models cannot stream (%s)"
                              % self.arch_name)
+        from ..parallel.seqpipe import seq_parallel_context
+        if seq_parallel_context() is not None:
+            # the seq-pipelined scan would win the dispatch in _scan_cell
+            # and silently drop the stream carries — refuse instead
+            raise ValueError(
+                "apply_streaming inside an active seq_parallel context is "
+                "not supported (the time axis is already sharded)")
         ss = _StreamState(carries)
         _STREAM.append(ss)
         try:

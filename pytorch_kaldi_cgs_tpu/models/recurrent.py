@@ -358,7 +358,7 @@ class _RecurrentBase(AcousticModel):
         if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
             return False
         from ..ops.fused_lstm import fits_vmem
-        if not fits_vmem(B, H, train=True):
+        if not fits_vmem(B, H):
             return False
         if jax.default_backend() in ("tpu", "axon"):
             return True

@@ -104,10 +104,13 @@ class SRU(AcousticModel):
                     if self.weight_norm:
                         params["g_" + name + tag] = np.linalg.norm(
                             w, axis=1).astype(np.float32)
-                # forget bias starts at highway_bias (more skip early on,
-                # same role as the package's highway_bias argument)
+                # highway_bias biases the RESET/highway gate r (b[H:]),
+                # matching the sru package's reset_parameters: negative
+                # bias -> r small -> the layer is mostly-skip early in
+                # training, which is also the premise of the rescale
+                # variance fix below
                 b = np.zeros((2 * self.H,), np.float32)
-                b[: self.H] = self.highway_bias
+                b[self.H:] = self.highway_bias
                 params["b" + tag] = b
                 if self.skip and d != self.H:
                     k = math.sqrt(3.0 / d)

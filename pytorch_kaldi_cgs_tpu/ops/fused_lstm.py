@@ -17,15 +17,17 @@ Equations match models.recurrent.LSTM._run_scan exactly
     c = i * act(gc) * drop + f * c
     h = o * act(c)
 
-Backward is a second sequential kernel (reverse grid) with U and a dU
-accumulator both VMEM-resident; activations are recomputed per step
-from the saved h/c sequences, so residual memory is the same (T, B, H)
-pair the scan keeps anyway.
+Backward is a second sequential kernel (reverse grid) with U
+VMEM-resident; activations are recomputed per step from the saved h/c
+sequences, so residual memory is the same (T, B, H) pair the scan keeps
+anyway. dU is accumulated OUTSIDE the kernel as one (4H, T*B)@(T*B, H)
+matmul over the emitted dg sequence (a per-step in-kernel dU dot has
+contraction K=B and starves the MXU — measured ~40% of the kernel).
 
 Supported: act in {tanh, relu, htanh}, no in-scan layer norm (laynorm
-configs fall back to lax.scan), f32 or bf16 gates. H*4H weights + dU
-must fit VMEM (H <= 1024 at f32 fwd / H <= 512 for the fused backward;
-larger falls back automatically).
+configs fall back to lax.scan), f32 or bf16 gates. 4H*H weights must
+fit VMEM (H <= ~1200 at f32, train and inference alike; larger falls
+back automatically).
 """
 
 from __future__ import annotations
@@ -63,6 +65,16 @@ _DACTS = {
     "linear": lambda y: jnp.ones_like(y),
 }
 
+
+
+def _q_vmap(h_seq, bits: int):
+    """Per-timestep activation quantization of a (T, B, H) sequence —
+    the scale must match the fwd kernels' per-step _q_input over each
+    (B, H) block; one global scale over the whole sequence biases dU at
+    every step whose max|h| differs from the sequence max."""
+    if bits <= 0:
+        return h_seq
+    return jax.vmap(lambda h: _q_input(h, bits))(h_seq)
 
 def _dact_from_pre(act, x):
     """act'(x) from the PRE-activation (used in backward recompute)."""
@@ -221,9 +233,9 @@ def _build_bwd(T: int, B: int, H: int, act: str, qbits: int,
     return call
 
 
-def fits_vmem(B: int, H: int, train: bool) -> bool:
+def fits_vmem(B: int, H: int) -> bool:
     """Conservative VMEM budget check (16MB/core, leave headroom).
-    dU no longer lives in the bwd kernel (accumulated outside over the
+    dU does not live in the bwd kernel (accumulated outside over the
     unrolled batch), so train costs the same VMEM as inference."""
     weights = 4 * H * H * 4                    # U f32
     work = 8 * B * H * 4 + B * 4 * H * 4 * 3
@@ -266,8 +278,11 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dg = bwd(gates_t, U, drop, h_prev, c_prev,
                  dhs.astype(jnp.float32))
         # dU over the unrolled (T*B) batch: one K=T*B matmul instead of
-        # T MXU-starved K=B dots inside the kernel
-        hq = _q_input(h_prev, quant_bits).reshape(T * B, H)
+        # T MXU-starved K=B dots inside the kernel. Quantization must be
+        # PER-STEP (vmap) to match the fwd kernel's _q_input over each
+        # (B, H) block — one global scale over (T, B, H) would bias dU
+        # at every step whose max|h| differs from the sequence max.
+        hq = _q_vmap(h_prev, quant_bits).reshape(T * B, H)
         dU = jax.lax.dot_general(dg.reshape(T * B, 4 * H), hq,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -552,8 +567,7 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         dg = bwd(gates_t, w3g, drop, h_prev, c_prev,
                  dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dw3g = sparse_dU(dg.reshape(M, G * H), hq, layout, G, interpret)
         return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
 

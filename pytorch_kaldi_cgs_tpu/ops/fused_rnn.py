@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .fused_lstm import _ACTS, _dact_from_pre, _q_input
+from .fused_lstm import _ACTS, _dact_from_pre, _q_input, _q_vmap
 
 
 @functools.lru_cache(maxsize=32)
@@ -152,8 +152,7 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dU = jnp.einsum("mg,mh->gh", dg.reshape(M, 2 * H), hq,
                         preferred_element_type=jnp.float32)
         return dg.astype(gates_t.dtype), dU.astype(U.dtype)
@@ -319,13 +318,13 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
         hp = h_prev.reshape(M, H)
-        hq = _q_input(hp, quant_bits) if quant_bits > 0 else hp
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         # recompute r over the unrolled batch for dUh's input (r*h)
         ar = gates_t.reshape(M, 3 * H)[:, 2 * H:] + jnp.einsum(
             "mh,gh->mg", hq, U[2 * H:],
             preferred_element_type=jnp.float32)
         s = jax.nn.sigmoid(ar) * hp
-        sq = _q_input(s, quant_bits) if quant_bits > 0 else s
+        sq = _q_vmap(s.reshape(T, B, H), quant_bits).reshape(M, H)
         dgm = dg.reshape(M, 3 * H)
         dUh = jnp.einsum("mg,mh->gh", dgm[:, :H], sq,
                          preferred_element_type=jnp.float32)
@@ -484,11 +483,11 @@ def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
         hp = h_prev.reshape(M, H)
-        hq = _q_input(hp, quant_bits) if quant_bits > 0 else hp
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         az = gates_t.reshape(M, 2 * H)[:, H:] + jnp.einsum(
             "mh,gh->mg", hq, U[H:], preferred_element_type=jnp.float32)
         s = jax.nn.sigmoid(az) * hp
-        sq = _q_input(s, quant_bits) if quant_bits > 0 else s
+        sq = _q_vmap(s.reshape(T, B, H), quant_bits).reshape(M, H)
         dgm = dg.reshape(M, 2 * H)
         dUh = jnp.einsum("mg,mh->gh", dgm[:, :H], sq,
                          preferred_element_type=jnp.float32)
@@ -616,8 +615,7 @@ def rnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dU = jnp.einsum("mg,mh->gh", dg.reshape(M, H), hq,
                         preferred_element_type=jnp.float32)
         return dg.astype(gates_t.dtype), dU.astype(U.dtype)
@@ -642,7 +640,7 @@ def fits_vmem(B: int, H: int, n_gates: int) -> bool:
 # r*h / z*h would need a second gather+dot per step.
 # ---------------------------------------------------------------------------
 
-from .fused_lstm import (scatter_add_cols, sparse_dU, sparse_dh_parts,
+from .fused_lstm import (_q_vmap, scatter_add_cols, sparse_dU, sparse_dh_parts,
                          sparse_recurrent_u, sparse_scan_fits_vmem)
 
 
@@ -784,8 +782,7 @@ def ligru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         dg = bwd(gates_t, w3g, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dw3g = sparse_dU(dg.reshape(M, G * H), hq, layout, G, interpret)
         return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
 
@@ -961,10 +958,8 @@ def gru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         dg, s_seq = bwd(gates_t, w3g, drop, h_prev,
                         dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
-        sq = _q_input(s_seq.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else s_seq.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
+        sq = _q_vmap(s_seq, quant_bits).reshape(M, H)
         dgm = dg.reshape(M, 3 * H)
         dUh = sparse_dU(dgm[:, :H], sq, layout, 1, interpret)
         dUzr = sparse_dU(dgm[:, H:], hq, layout, 2, interpret)
@@ -1125,10 +1120,8 @@ def mgru_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         dg, s_seq = bwd(gates_t, w3g, drop, h_prev,
                         dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
-        sq = _q_input(s_seq.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else s_seq.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
+        sq = _q_vmap(s_seq, quant_bits).reshape(M, H)
         dgm = dg.reshape(M, 2 * H)
         dUh = sparse_dU(dgm[:, :H], sq, layout, 1, interpret)
         dUz = sparse_dU(dgm[:, H:], hq, layout, 1, interpret)
@@ -1256,8 +1249,7 @@ def rnn_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         dg = bwd(gates_t, w3g, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
-        hq = _q_input(h_prev.reshape(M, H), quant_bits) \
-            if quant_bits > 0 else h_prev.reshape(M, H)
+        hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dw3g = sparse_dU(dg.reshape(M, H), hq, layout, 1, interpret)
         return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
 

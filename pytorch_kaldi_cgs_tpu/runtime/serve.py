@@ -142,12 +142,13 @@ class StreamingRecognizer:
 
     def start(self) -> dict:
         """A fresh stream session (per parallel batch of streams)."""
-        return {"carries": None, "chunks": []}
+        return {"carries": None, "chunks": [],
+                "partials": None, "last_ids": None}
 
     def accept(self, session: dict, feats_chunk: np.ndarray) -> np.ndarray:
         """Process one (T_c, B, F) feature chunk; returns its
         prior-normalized log-posteriors (T_c, B, C) and advances the
-        session state."""
+        session state (including the incremental greedy partials)."""
         chunk = jnp.asarray(feats_chunk, jnp.float32)
         if session["carries"] is None:
             if self._step_first is None:
@@ -160,23 +161,30 @@ class StreamingRecognizer:
             y, carries = self._step_cont(self.variables, chunk,
                                          session["carries"])
         session["carries"] = carries
-        session["chunks"].append(np.asarray(y))
-        return session["chunks"][-1]
-
-    def partial(self, session: dict) -> List[List[int]]:
-        """Greedy (argmax-frame) partial hypotheses, deduped consecutive
-        — the cheap incremental readout between chunks."""
-        logp = np.concatenate(session["chunks"], axis=0)  # (T, B, C)
-        ids = logp.argmax(axis=2)
-        out = []
-        for b in range(ids.shape[1]):
-            seq, prev = [], None
+        out = np.asarray(y)
+        session["chunks"].append(out)
+        # extend the greedy partials incrementally: only this chunk's
+        # frames are argmax'd, deduped against the carried last id —
+        # partial() stays O(1) per chunk instead of re-scanning history
+        ids = out.argmax(axis=2)                          # (T_c, B)
+        B = ids.shape[1]
+        if session["partials"] is None:
+            session["partials"] = [[] for _ in range(B)]
+            session["last_ids"] = [None] * B
+        for b in range(B):
+            prev = session["last_ids"][b]
+            seq = session["partials"][b]
             for v in ids[:, b]:
                 if v != prev:
                     seq.append(int(v))
                     prev = v
-            out.append(seq)
+            session["last_ids"][b] = prev
         return out
+
+    def partial(self, session: dict) -> List[List[int]]:
+        """Greedy (argmax-frame) partial hypotheses, deduped consecutive
+        — maintained incrementally by accept(), returned by reference."""
+        return session["partials"] or []
 
     def finalize(self, session: dict,
                  frame_lengths: Optional[Sequence[int]] = None

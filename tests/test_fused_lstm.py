@@ -48,6 +48,45 @@ def test_fused_forward_and_grads_match_scan():
                                atol=1e-4)
 
 
+def test_fused_quantized_dU_uses_per_step_scale():
+    """With activation quantization, dU must be computed against the
+    PER-STEP quantized h (the fwd kernel's scale is max|h| of each
+    (B, H) block); a single global scale over the whole sequence biases
+    dU — regression for the dU-outside-the-kernel refactor."""
+    from pytorch_kaldi_cgs_tpu.sparsity.quantize import ste_quantize_input
+    T, B, H, bits = 12, 4, 16, 8
+    rng = np.random.RandomState(2)
+    g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
+    # scale h magnitudes per step so a global max differs a lot
+    U = jnp.asarray(rng.randn(4 * H, H) * 0.2, jnp.float32)
+    drop = jnp.ones((B, H), jnp.float32)
+
+    def scan_q(g, U):
+        h0 = jnp.zeros((B, H))
+
+        def step(carry, g_t):
+            h, c = carry
+            u = jnp.einsum("bh,gh->bg", ste_quantize_input(h, bits), U)
+            gf, gi, go, gc = jnp.split(g_t + u, 4, axis=-1)
+            c = jax.nn.sigmoid(gi) * jnp.tanh(gc) * drop \
+                + jax.nn.sigmoid(gf) * c
+            h = jax.nn.sigmoid(go) * jnp.tanh(c)
+            return (h, c), h
+
+        return jax.lax.scan(step, (h0, h0), g)[1]
+
+    tgt = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+    dU_ref = jax.grad(lambda U: jnp.sum((scan_q(g, U) - tgt) ** 2))(U)
+    dU = jax.grad(lambda U: jnp.sum(
+        (lstm_scan_fused(g, U, drop, quant_bits=bits, interpret=True)
+         - tgt) ** 2))(U)
+    hs_ref = scan_q(g, U)
+    hs = lstm_scan_fused(g, U, drop, quant_bits=bits, interpret=True)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("act", ["relu", "htanh"])
 def test_fused_other_activations(act):
     from pytorch_kaldi_cgs_tpu.models.layers import act_fun
