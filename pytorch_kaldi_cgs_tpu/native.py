@@ -372,6 +372,74 @@ class Lattice:
                          float(conf[i])))
         return rows
 
+    def best_path_arcs(self, ac_scale: float = 1.0) -> List[int]:
+        """Indices of the arcs on the best path (Bellman-Ford over the
+        arc arrays; the C++ stores arcs near-topologically so passes
+        converge in ~longest-eps-chain + 1). The start node is the one
+        the decoder created first (frame -1 before remap -> index 0)."""
+        w = (self.graph_costs.astype(np.float64)
+             + ac_scale * self.acoustic_costs.astype(np.float64))
+        n = self.num_nodes
+        cost = np.full(n, np.inf)
+        cost[0] = 0.0
+        for _ in range(n + 1):
+            cand = cost[self.src] + w
+            new = cost.copy()
+            np.minimum.at(new, self.dst, cand)
+            if np.array_equal(new, cost, equal_nan=True):
+                break
+            cost = new
+        best_in = np.full(n, -1, np.int64)
+        cand = cost[self.src] + w
+        on = cand <= cost[self.dst] + 1e-9
+        # last writer wins — any optimal incoming arc is fine
+        best_in[self.dst[on]] = np.nonzero(on)[0]
+        totals = cost + self.final_costs
+        end = int(np.argmin(totals))
+        if not np.isfinite(totals[end]):
+            raise RuntimeError("no final path in lattice")
+        path = []
+        node = end
+        while node != 0:
+            a = int(best_in[node])
+            if a < 0:
+                raise RuntimeError("broken backtrace in lattice")
+            path.append(a)
+            node = int(self.src[a])
+        path.reverse()
+        return path
+
+    def align_phones(self, tmodel, ac_scale: float = 1.0,
+                     frame_shift: float = 0.01) -> List[tuple]:
+        """Phone-level time alignment of the best path — the
+        ``lattice-align-phones`` role (ref: local/score.sh:55-60).
+
+        Our lattice arcs are per-frame (one emitting arc per frame), so
+        phone boundaries are exact by construction: take the best
+        path's per-frame ilabels (transition-ids for HCLG graphs, built
+        by decode.graph / the transition-id remap), map them to phones
+        through the transition model, and merge consecutive runs.
+        ``tmodel`` is a ``TransitionModel`` (its
+        ``ali_to_phones_per_frame``) or any callable mapping an int32
+        ilabel array to per-frame phone ids. Returns
+        ``(phone, start_s, duration_s)`` rows.
+        """
+        arcs = self.best_path_arcs(ac_scale)
+        tids = np.asarray([self.ilabels[a] for a in arcs
+                           if self.ilabels[a] != 0], np.int64)
+        if tids.size == 0:
+            return []
+        mapper = getattr(tmodel, "ali_to_phones_per_frame", tmodel)
+        phones = np.asarray(mapper(tids))
+        rows = []
+        start = 0
+        for i in range(1, len(phones) + 1):
+            if i == len(phones) or phones[i] != phones[start]:
+                rows.append((int(phones[start]), start * frame_shift,
+                             (i - start) * frame_shift))
+                start = i
+        return rows
+
     def write_text(self, path: str) -> str:
         """Kaldi-style text lattice: 'src dst olabel ilabel gc,ac' lines
         + final lines."""

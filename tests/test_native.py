@@ -227,3 +227,42 @@ def test_lattice_ctm_confidence_multi_token(tmp_path):
     exp = np.exp(0.5) / (np.exp(0.5) + np.exp(0.4))
     np.testing.assert_allclose(rows[1][3], exp, rtol=1e-4)
     assert all(0.0 <= r[3] <= 1.0 for r in rows)
+
+
+def test_lattice_best_path_arcs_matches_best_path(tmp_path):
+    """Python-side backtrace over the arc arrays reproduces the C++
+    best path's token sequence (prerequisite for align_phones)."""
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 4, 2)
+    fst = N.NativeFst(fst_path)
+    rng = np.random.RandomState(13)
+    T = 30
+    ll = np.log(rng.dirichlet(np.ones(8) * 0.5, size=T)).astype(np.float32)
+    lat = fst.decode_lattice(ll, beam=30.0, lat_beam=10.0, acwt=1.0)
+    for scale in (1.0, 0.5, 2.0):
+        arcs = lat.best_path_arcs(scale)
+        toks = [int(lat.olabels[a]) for a in arcs if lat.olabels[a] != 0]
+        assert toks == lat.best_path(scale)
+        # per-frame emitting arcs: exactly T nonzero-ilabel arcs
+        assert sum(1 for a in arcs if lat.ilabels[a] != 0) == T
+
+
+def test_lattice_align_phones(tmp_path):
+    """lattice-align-phones role (ref: local/score.sh:55-60): best-path
+    per-frame ilabels -> phones via the transition mapping, merged into
+    (phone, start, duration) rows with exact boundaries."""
+    sp = 2
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 3, sp)
+    fst = N.NativeFst(fst_path)
+    # phone 0 frames 0-9, phone 2 frames 10-19 (sharp posteriors)
+    pdfs = [0] * 5 + [1] * 5 + [4] * 5 + [5] * 5
+    ll = np.full((20, 6), -8.0, np.float32)
+    ll[np.arange(20), pdfs] = 0.0
+    lat = fst.decode_lattice(ll, beam=20.0, lat_beam=5.0, acwt=1.0)
+    # phone-loop ilabel = pdf+1; mapper plays the TransitionModel role
+    rows = lat.align_phones(lambda tids: (np.asarray(tids) - 1) // sp,
+                            ac_scale=1.0)
+    assert [r[0] for r in rows] == [0, 2]
+    assert rows[0][1] == 0.0 and abs(rows[0][2] - 0.10) < 1e-9
+    assert abs(rows[1][1] - 0.10) < 1e-9 and abs(rows[1][2] - 0.10) < 1e-9
+    # durations tile the utterance exactly
+    assert abs(sum(r[2] for r in rows) - 0.20) < 1e-9
