@@ -342,16 +342,13 @@ class _RecurrentBase(AcousticModel):
         return (jax.default_backend() in ("tpu", "axon") or
                 self._fused_forced())
 
-    def _use_fused_scan(self, use_ln, act_name, B, H) -> bool:
-        """Fused Pallas recurrence eligibility (LSTM only): supported
-        activation, no in-scan layer norm, VMEM budget, and either a
-        real TPU backend or interpret-capable tests forcing it via the
-        <prefix>_fused_scan option."""
+    def _fused_lstm_ok(self, use_ln, act_name, B, H) -> bool:
+        """Context-free fused-LSTM eligibility: supported activation, no
+        in-scan layer norm, VMEM budget, and either a real TPU backend
+        or interpret-capable tests forcing it via <prefix>_fused_scan.
+        Also used by the streaming path (which seeds the carry instead
+        of assuming zeros)."""
         if self.prefix != "lstm":
-            return False
-        from ..parallel.seqpipe import seq_parallel_context
-        from .base import stream_state
-        if seq_parallel_context() is not None or stream_state() is not None:
             return False
         if not opt_bool(self.options, self.prefix + "_fused_scan", True):
             return False
@@ -365,6 +362,17 @@ class _RecurrentBase(AcousticModel):
         # CPU: only when explicitly requested (interpret mode is slow)
         return str(self.options.get("lstm_fused_scan", "")).strip() in (
             "True", "true", "1")
+
+    def _use_fused_scan(self, use_ln, act_name, B, H) -> bool:
+        """Training/whole-utterance fused eligibility: the one-kernel
+        recurrence assumes zero initial state, so it is off under a seq
+        or stream context (streaming takes the seeded-carry variant via
+        _run_scan directly)."""
+        from ..parallel.seqpipe import seq_parallel_context
+        from .base import stream_state
+        if seq_parallel_context() is not None or stream_state() is not None:
+            return False
+        return self._fused_lstm_ok(use_ln, act_name, B, H)
 
     def _maybe_bidir_in(self, x):
         if self.bidir:
@@ -555,6 +563,20 @@ class LSTM(_RecurrentBase):
                                    U.astype(jnp.float32), drop_mask,
                                    act=act_name, quant_bits=qb,
                                    interpret=interpret)
+        from .base import stream_state
+        ss = stream_state()
+        if ss is not None and self._fused_lstm_ok(use_ln, act_name, B, H):
+            # streaming keeps one-kernel speed: the seeded-carry fused
+            # forward (inference-only, no VJP needed on this path)
+            from ..ops.fused_lstm import lstm_scan_fused_stream
+            z = jnp.zeros((B, H), jnp.float32)
+            cin = ss.next_carry((z, z))
+            hs, fin = lstm_scan_fused_stream(
+                gates_t.astype(jnp.float32), U.astype(jnp.float32),
+                drop_mask, cin[0], cin[1], act=act_name, quant_bits=qb,
+                interpret=interpret)
+            ss.carries_out.append(fin)
+            return hs
         h0 = jnp.zeros((B, H), gates_t.dtype)
 
         def step(params, bargs, carry, g_t):
@@ -802,14 +824,8 @@ class _CudnnBase(AcousticModel):
             cur = H * nd
         return {"params": params, "state": {}, "masks": {}}
 
-    def _fused_eligible(self, B, H) -> bool:
-        """Route through the fused Pallas recurrence when it fits VMEM
-        (LSTM_cudnn/RNN_cudnn share the custom cells' kernels after a
-        gate permutation; GRU_cudnn's torch semantics r*(U@h) differ
-        from the r*h@U cell and stay on lax.scan)."""
-        from .base import stream_state
-        if stream_state() is not None:
-            return False  # fused kernels assume zero initial state
+    def _fused_capable(self, B, H) -> bool:
+        """Context-free fused-kernel capability check."""
         from ..ops.fused_rnn import fits_vmem
         if not fits_vmem(B, H, self.n_gates):
             return False
@@ -817,6 +833,17 @@ class _CudnnBase(AcousticModel):
             return True
         return str(self.options.get("fused_scan", "")).strip() in (
             "True", "true", "1")
+
+    def _fused_eligible(self, B, H) -> bool:
+        """Route through the fused Pallas recurrence when it fits VMEM
+        (LSTM_cudnn/RNN_cudnn share the custom cells' kernels after a
+        gate permutation; GRU_cudnn's torch semantics r*(U@h) differ
+        from the r*h@U cell and stay on lax.scan). Off under streaming —
+        LSTM_cudnn takes the seeded-carry stream variant instead."""
+        from .base import stream_state
+        if stream_state() is not None:
+            return False  # zero-state kernels; stream path seeds carry
+        return self._fused_capable(B, H)
 
     def _dir(self, params, x, sfx, train):
         proj = jnp.einsum("tbf,gf->tbg", x, params["w_ih_" + sfx])
@@ -881,6 +908,24 @@ class LSTM_cudnn(_CudnnBase):
                                  act="tanh",
                                  interpret=jax.default_backend()
                                  not in ("tpu", "axon"))
+            return hs.astype(proj.dtype)
+        from .base import stream_state
+        ss = stream_state()
+        if ss is not None and self._fused_capable(B, H):
+            from ..ops.fused_lstm import lstm_scan_fused_stream
+            perm = [1, 0, 3, 2]   # ifgo -> fioc
+            g = proj + b_hh
+            gs = jnp.split(g, 4, axis=-1)
+            g = jnp.concatenate([gs[k] for k in perm], axis=-1)
+            Us = jnp.split(W_hh, 4, axis=0)
+            U = jnp.concatenate([Us[k] for k in perm], axis=0)
+            z = jnp.zeros((B, H), jnp.float32)
+            cin = ss.next_carry((z, z))
+            hs, fin = lstm_scan_fused_stream(
+                g.astype(jnp.float32), U.astype(jnp.float32),
+                jnp.ones((B, H), jnp.float32), cin[0], cin[1], act="tanh",
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            ss.carries_out.append(fin)
             return hs.astype(proj.dtype)
         h0 = jnp.zeros((B, H), proj.dtype)
 

@@ -90,18 +90,30 @@ def _dact_from_pre(act, x):
 
 @functools.lru_cache(maxsize=32)
 def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
-               interpret: bool):
+               interpret: bool, with_init: bool = False):
+    """with_init=True adds (h0, c0) inputs that seed the VMEM carry at
+    t==0 instead of zeros — the streaming-inference variant."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref):
+    def kernel(*refs):
+        if with_init:
+            (g_ref, u_ref, drop_ref, h0_ref, c0_ref,
+             h_out, c_out, h_ref, c_ref) = refs
+        else:
+            g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref = refs
+            h0_ref = c0_ref = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            h_ref[...] = jnp.zeros_like(h_ref)
-            c_ref[...] = jnp.zeros_like(c_ref)
+            if with_init:
+                h_ref[...] = h0_ref[...]
+                c_ref[...] = c0_ref[...]
+            else:
+                h_ref[...] = jnp.zeros_like(h_ref)
+                c_ref[...] = jnp.zeros_like(c_ref)
 
         u = jax.lax.dot_general(_q_input(h_ref[...], qbits), u_ref[...],
                                 (((1,), (1,)), ((), ())),
@@ -118,15 +130,21 @@ def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
         h_out[0] = h.astype(h_out.dtype)
         c_out[0] = c.astype(c_out.dtype)
 
-    def call(gates_t, U, drop_mask):
+    def call(gates_t, U, drop_mask, h0=None, c0=None):
+        in_specs = [
+            pl.BlockSpec((1, B, 4 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((4 * H, H), lambda t: (0, 0)),
+            pl.BlockSpec((B, H), lambda t: (0, 0)),
+        ]
+        args = [gates_t, U, drop_mask]
+        if with_init:
+            in_specs += [pl.BlockSpec((B, H), lambda t: (0, 0)),
+                         pl.BlockSpec((B, H), lambda t: (0, 0))]
+            args += [h0, c0]
         return pl.pallas_call(
             kernel,
             grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, B, 4 * H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((4 * H, H), lambda t: (0, 0)),
-                pl.BlockSpec((B, H), lambda t: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
                 pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
@@ -145,9 +163,28 @@ def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
                 bytes_accessed=(T * B * 4 * H + 4 * H * H
                                 + 2 * T * B * H) * 4,
                 transcendentals=T * B * H * 4),
-        )(gates_t, U, drop_mask)
+        )(*args)
 
     return call
+
+
+def lstm_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
+                           drop_mask: jnp.ndarray, h0: jnp.ndarray,
+                           c0: jnp.ndarray, act: str = "tanh",
+                           quant_bits: int = 0, interpret: bool = False):
+    """Streaming (inference-only) fused recurrence: like
+    :func:`lstm_scan_fused` but seeded with an initial (h0, c0) carry
+    and returning ``(hs, (h_T, c_T))`` so chunked forward passes keep
+    the one-Pallas-call-per-layer speed. NOT differentiable (no VJP —
+    streaming is an eval path; training always starts from zero state,
+    ref core.py:183-200 pads fresh sequences)."""
+    T, B, G4 = gates_t.shape
+    H = G4 // 4
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_fwd(T, B, H, act, quant_bits, interpret, with_init=True)
+    hs, cs = fwd(gates_t.astype(jnp.float32), U.astype(jnp.float32), drop,
+                 h0.astype(jnp.float32), c0.astype(jnp.float32))
+    return hs, (hs[-1], cs[-1])
 
 
 @functools.lru_cache(maxsize=32)

@@ -166,3 +166,35 @@ def test_streaming_recognizer_end_to_end():
     assert len(partial) == 2 and all(len(p) >= 1 for p in partial)
     final = rec.finalize(session)
     assert len(final) == 2 and all(len(f) >= 1 for f in final)
+
+
+def test_lstm_fused_stream_matches_scan_stream():
+    """The seeded-carry fused kernel (lstm_scan_fused_stream) and the
+    plain scan streaming path produce identical chunk outputs AND
+    identical carried (h, c) state."""
+    def build(force_fused):
+        opts = {"to_do": "forward", "arch_name": "t", "out_folder": "/tmp",
+                "lstm_lay": "16,16", "lstm_drop": "0.0,0.0",
+                "lstm_use_batchnorm": "False,False",
+                "lstm_use_laynorm": "False,False",
+                "lstm_use_laynorm_inp": "False",
+                "lstm_use_batchnorm_inp": "False",
+                "lstm_act": "tanh,tanh", "lstm_orthinit": "True",
+                "lstm_bidir": "False",
+                "lstm_fused_scan": "True" if force_fused else "False"}
+        return M.LSTM(opts, 9)
+
+    fused = build(True)
+    plain = build(False)
+    v = fused.init(0)
+    x = jnp.asarray(np.random.RandomState(5).randn(24, 3, 9), jnp.float32)
+    cf = cp = None
+    for chunk in _chunks(x, [9, 15]):
+        yf, cf = fused.apply_streaming(v, chunk, cf)
+        yp, cp = plain.apply_streaming(v, chunk, cp)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(cf),
+                        jax.tree_util.tree_leaves(cp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
