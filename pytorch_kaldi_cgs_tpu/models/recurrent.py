@@ -837,9 +837,9 @@ class _CudnnBase(AcousticModel):
     def _fused_eligible(self, B, H) -> bool:
         """Route through the fused Pallas recurrence when it fits VMEM
         (LSTM_cudnn/RNN_cudnn share the custom cells' kernels after a
-        gate permutation; GRU_cudnn's torch semantics r*(U@h) differ
-        from the r*h@U cell and stay on lax.scan). Off under streaming —
-        LSTM_cudnn takes the seeded-carry stream variant instead."""
+        gate permutation; GRU_cudnn has its own torch-semantics kernel,
+        gru_cudnn_scan_fused). Off under streaming — LSTM_cudnn takes
+        the seeded-carry stream variant, the others the scan path."""
         from .base import stream_state
         if stream_state() is not None:
             return False  # zero-state kernels; stream path seeds carry
@@ -949,8 +949,18 @@ class GRU_cudnn(_CudnnBase):
     def _scan(self, proj, W_hh, b_hh):
         B = proj.shape[1]
         H = self.hidden_size
+        if self._fused_eligible(B, H):
+            # torch-semantics fused kernel: r * (U_n h + b_hn) is ONE
+            # dot per step (unlike the cell GRU's (r*h) @ U_h)
+            from ..ops.fused_rnn import gru_cudnn_scan_fused
+            hs = gru_cudnn_scan_fused(
+                proj.astype(jnp.float32), W_hh.astype(jnp.float32), b_hh,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            return hs.astype(proj.dtype)
         h0 = jnp.zeros((B, H), proj.dtype)
-        bh = b_hh if isinstance(b_hh, jnp.ndarray) else jnp.zeros(3 * H)
+        # NB not isinstance(b_hh, jnp.ndarray): numpy params (eager
+        # calls) would silently drop the recurrent bias
+        bh = jnp.zeros(3 * H) if np.ndim(b_hh) == 0 else jnp.asarray(b_hh)
 
         def step(h, g_t):
             u = h @ W_hh.T + bh

@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .fused_lstm import _ACTS, _dact_from_pre, _q_input, _q_vmap
 
@@ -335,6 +336,176 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
+
+
+# ---------------------------------------------------------------------------
+# torch-semantics GRU (the GRU_cudnn wrapper, ref: neural_networks.py
+# :400-430 via nn.GRU): the reset gate multiplies the ALREADY-projected
+# recurrent candidate (r * (U_n h + b_hn)), unlike the cell GRU's
+# (r*h) @ U_h — so the whole step is ONE (B, H) x (H, 3H) dot:
+#     u        = h @ U.T + b_hh            # (B, 3H), torch order r,z,n
+#     r, z     = sigmoid(gx_{r,z} + u_{r,z})
+#     n        = tanh(gx_n + r * u_n)
+#     h        = (1 - z) * n + z * h
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _build_gru_torch_fwd(T: int, B: int, H: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(g_ref, u_ref, bh_ref, h_out, h_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
+
+        h_prev = h_ref[...]
+        u = jax.lax.dot_general(h_prev, u_ref[...],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        u = u + bh_ref[...]
+        g = g_ref[0].astype(jnp.float32)              # (B, 3H) r,z,n
+        r = jax.nn.sigmoid(g[:, :H] + u[:, :H])
+        z = jax.nn.sigmoid(g[:, H:2 * H] + u[:, H:2 * H])
+        n = jnp.tanh(g[:, 2 * H:] + r * u[:, 2 * H:])
+        h = (1.0 - z) * n + z * h_prev
+        h_ref[...] = h
+        h_out[0] = h.astype(h_out.dtype)
+
+    def call(gates_t, U, b_hh):
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0)),
+                pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, 3 * H), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * B * H * 3 * H,
+                bytes_accessed=(T * B * 3 * H + 3 * H * H
+                                + T * B * H) * 4,
+                transcendentals=T * B * H * 3),
+        )(gates_t, U, b_hh)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_gru_torch_bwd(T: int, B: int, H: int, interpret: bool):
+    """Reverse-time BPTT. Emits dg = (da_r, da_z, da_n) for the x-proj
+    cotangent and dm = da_n * r (the grad on u_n) separately — dU/db_hh
+    are single unrolled-batch reductions outside."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(g_ref, u_ref, bh_ref, hprev_ref, dh_in_ref, dg_out, dm_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = jax.lax.dot_general(h_prev, u_ref[...],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        u = u + bh_ref[...]
+        g = g_ref[0].astype(jnp.float32)
+        r = jax.nn.sigmoid(g[:, :H] + u[:, :H])
+        z = jax.nn.sigmoid(g[:, H:2 * H] + u[:, H:2 * H])
+        a_n = g[:, 2 * H:] + r * u[:, 2 * H:]
+        n = jnp.tanh(a_n)
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - n)
+        da_n = dh * (1.0 - z) * (1.0 - n * n)
+        dr = da_n * u[:, 2 * H:]
+        dm = da_n * r
+        da_r = dr * r * (1.0 - r)
+        da_z = dz * z * (1.0 - z)
+        du = jnp.concatenate([da_r, da_z, dm], axis=1)     # grads on u
+        dh_prev = dh * z + jax.lax.dot_general(
+            du, u_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = jnp.concatenate([da_r, da_z, da_n],
+                                    axis=1).astype(dg_out.dtype)
+        dm_out[0] = dm.astype(dm_out.dtype)
+
+    def call(gates_t, U, b_hh, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), rev),
+                pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, 3 * H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, 3 * H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(gates_t, U, b_hh, h_prev_seq, dhs)
+
+    return call
+
+
+def gru_cudnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
+                         b_hh, interpret: bool = False) -> jnp.ndarray:
+    """hs = fused torch-semantics GRU recurrence for the GRU_cudnn
+    wrapper. gates_t: (T, B, 3H) = x @ W_ih.T + b_ih in torch gate order
+    [r, z, n]; U: (3H, H) = W_hh; b_hh: (3H,) or scalar 0.
+    Differentiable w.r.t. all three."""
+    T, B, G3 = gates_t.shape
+    H = G3 // 3
+    bh = jnp.broadcast_to(jnp.asarray(b_hh, jnp.float32).reshape(1, -1)
+                          if np.ndim(b_hh) else
+                          jnp.full((1, 3 * H), float(b_hh), jnp.float32),
+                          (1, 3 * H))
+    fwd = _build_gru_torch_fwd(T, B, H, interpret)
+    bwd = _build_gru_torch_bwd(T, B, H, interpret)
+
+    @jax.custom_vjp
+    def _op(gates_t, U, bh):
+        return fwd(gates_t, U, bh)
+
+    def _fwd_rule(gates_t, U, bh):
+        hs = fwd(gates_t, U, bh)
+        return hs, (gates_t, U, bh, hs)
+
+    def _bwd_rule(res, dhs):
+        gates_t, U, bh, hs = res
+        zeros = jnp.zeros((1, B, H), jnp.float32)
+        h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+        dg, dm = bwd(gates_t, U, bh, h_prev, dhs.astype(jnp.float32))
+        M = T * B
+        dgm = dg.reshape(M, 3 * H)
+        # grads on u rows are (da_r, da_z, dm); dU/db_hh reduce them
+        # over the unrolled batch (K=T*B matmul, not T K=B dots)
+        du = jnp.concatenate([dgm[:, :2 * H], dm.reshape(M, H)], axis=1)
+        dU = jnp.einsum("mg,mh->gh", du, h_prev.reshape(M, H),
+                        preferred_element_type=jnp.float32)
+        dbh = jnp.sum(du, axis=0, keepdims=True)
+        return dg.astype(gates_t.dtype), dU.astype(U.dtype), dbh
+    _op.defvjp(_fwd_rule, _bwd_rule)
+    return _op(gates_t, U, bh)
 
 
 # ---------------------------------------------------------------------------

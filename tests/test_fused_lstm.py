@@ -355,3 +355,35 @@ def test_model_sparse_recurrence_ligru_rnn_matches_dense():
                 np.testing.assert_allclose(
                     np.asarray(g2[k]), np.asarray(g1[k]), atol=1e-4,
                     err_msg="%s %s" % (prefix, k))
+
+
+def test_gru_cudnn_fused_matches_scan():
+    """The torch-semantics fused GRU kernel (one dot per step,
+    r * (U_n h + b_hn)) reproduces the GRU_cudnn lax.scan path exactly,
+    gradients included (b_hh too — it enters INSIDE the reset gate)."""
+    from pytorch_kaldi_cgs_tpu.models import GRU_cudnn
+
+    def build(force_fused):
+        return GRU_cudnn(
+            {"to_do": "train", "arch_name": "t", "out_folder": "/tmp",
+             "hidden_size": "16", "num_layers": "2", "bias": "True",
+             "bidirectional": "True", "dropout": "0.0",
+             "fused_scan": "True" if force_fused else "False"}, 9)
+
+    fused, plain = build(True), build(False)
+    v = fused.init(0)
+    x = jnp.asarray(np.random.RandomState(7).randn(15, 4, 9), jnp.float32)
+    yf, _ = fused.apply(v, x, train=False)
+    yp, _ = plain.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(net, p):
+        y, _ = net.apply({**v, "params": p}, x, train=False)
+        return jnp.sum(y ** 2)
+
+    gf = jax.grad(lambda p: loss(fused, p))(v["params"])
+    gp = jax.grad(lambda p: loss(plain, p))(v["params"])
+    for k in gp:
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gp[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
