@@ -326,12 +326,11 @@ class _RecurrentBase(AcousticModel):
         return str(self.options.get(self.prefix + "_fused_scan",
                                     "")).strip() in ("True", "true", "1")
 
-    def _fused_ok(self, use_ln, act_name, B, H, n_gates) -> bool:
-        """Generic fused-recurrence eligibility (liGRU/RNN family)."""
-        from ..parallel.seqpipe import seq_parallel_context
-        from .base import stream_state
-        if seq_parallel_context() is not None or stream_state() is not None:
-            return False
+    def _fused_rnn_ok(self, use_ln, act_name, B, H, n_gates) -> bool:
+        """Context-free fused-recurrence eligibility (liGRU/GRU/mGRU/RNN
+        family): supported activation, no in-scan layer norm, VMEM
+        budget, real TPU backend or forced (interpret mode) for tests.
+        Also used by the streaming path, which seeds the carry."""
         if not opt_bool(self.options, self.prefix + "_fused_scan", True):
             return False
         if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
@@ -341,6 +340,17 @@ class _RecurrentBase(AcousticModel):
             return False
         return (jax.default_backend() in ("tpu", "axon") or
                 self._fused_forced())
+
+    def _fused_ok(self, use_ln, act_name, B, H, n_gates) -> bool:
+        """Training/whole-utterance fused eligibility: the one-kernel
+        recurrence assumes zero initial state, so it is off under a seq
+        or stream context (streaming takes the seeded-carry variant via
+        each cell's _run_scan directly)."""
+        from ..parallel.seqpipe import seq_parallel_context
+        from .base import stream_state
+        if seq_parallel_context() is not None or stream_state() is not None:
+            return False
+        return self._fused_rnn_ok(use_ln, act_name, B, H, n_gates)
 
     def _fused_lstm_ok(self, use_ln, act_name, B, H) -> bool:
         """Context-free fused-LSTM eligibility: supported activation, no

@@ -25,17 +25,28 @@ from .fused_lstm import _ACTS, _dact_from_pre, _q_input, _q_vmap
 
 @functools.lru_cache(maxsize=32)
 def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                     interpret: bool):
+                     interpret: bool, with_init: bool = False):
+    """with_init=True adds an h0 input that seeds the VMEM carry at
+    t==0 instead of zeros — the streaming-inference variant (same
+    contract as fused_lstm._build_fwd)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+    def kernel(*refs):
+        if with_init:
+            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+        else:
+            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            h0_ref = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            h_ref[...] = jnp.zeros_like(h_ref)
+            if with_init:
+                h_ref[...] = h0_ref[...]
+            else:
+                h_ref[...] = jnp.zeros_like(h_ref)
 
         hq = _q_input(h_ref[...], qbits)
         u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
@@ -47,15 +58,20 @@ def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
 
-    def call(gates_t, U, drop_mask):
+    def call(gates_t, U, drop_mask, h0=None):
+        in_specs = [
+            pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+            pl.BlockSpec((B, H), lambda t: (0, 0)),
+        ]
+        args = [gates_t, U, drop_mask]
+        if with_init:
+            in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
+            args.append(h0)
         return pl.pallas_call(
             kernel,
             grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
-                pl.BlockSpec((B, H), lambda t: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -65,7 +81,7 @@ def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
                 bytes_accessed=(T * B * 2 * H + 2 * H * H
                                 + T * B * H) * 4,
                 transcendentals=T * B * H * 2),
-        )(gates_t, U, drop_mask)
+        )(*args)
 
     return call
 
@@ -162,6 +178,23 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     return _op(gates_t, U)
 
 
+def ligru_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
+                            drop_mask: jnp.ndarray, h0: jnp.ndarray,
+                            act: str = "relu", quant_bits: int = 0,
+                            interpret: bool = False):
+    """Streaming (inference-only) fused liGRU: seeded with an initial h
+    carry, returns ``(hs, h_T)`` so chunked forward passes keep the
+    one-Pallas-call-per-layer speed. NOT differentiable (eval path)."""
+    T, B, G2 = gates_t.shape
+    H = G2 // 2
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_ligru_fwd(T, B, H, act, quant_bits, interpret,
+                           with_init=True)
+    hs = fwd(gates_t.astype(jnp.float32), U.astype(jnp.float32), drop,
+             h0.astype(jnp.float32))
+    return hs, hs[-1]
+
+
 # ---------------------------------------------------------------------------
 # GRU (update + reset gates; the reset gate re-enters the candidate's
 # recurrent input, ref: neural_networks.py:1400-1410):
@@ -174,17 +207,25 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 @functools.lru_cache(maxsize=32)
 def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                   interpret: bool):
+                   interpret: bool, with_init: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+    def kernel(*refs):
+        if with_init:
+            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+        else:
+            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            h0_ref = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            h_ref[...] = jnp.zeros_like(h_ref)
+            if with_init:
+                h_ref[...] = h0_ref[...]
+            else:
+                h_ref[...] = jnp.zeros_like(h_ref)
 
         h_prev = h_ref[...]
         u = u_ref[...]                                # (3H, H) [Uh;Uz;Ur]
@@ -203,15 +244,20 @@ def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
 
-    def call(gates_t, U, drop_mask):
+    def call(gates_t, U, drop_mask, h0=None):
+        in_specs = [
+            pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
+            pl.BlockSpec((B, H), lambda t: (0, 0)),
+        ]
+        args = [gates_t, U, drop_mask]
+        if with_init:
+            in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
+            args.append(h0)
         return pl.pallas_call(
             kernel,
             grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
-                pl.BlockSpec((B, H), lambda t: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
@@ -221,7 +267,7 @@ def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
                 bytes_accessed=(T * B * 3 * H + 3 * H * H
                                 + T * B * H) * 4,
                 transcendentals=T * B * H * 3),
-        )(gates_t, U, drop_mask)
+        )(*args)
 
     return call
 
@@ -336,6 +382,21 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
+
+
+def gru_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
+                          drop_mask: jnp.ndarray, h0: jnp.ndarray,
+                          act: str = "tanh", quant_bits: int = 0,
+                          interpret: bool = False):
+    """Streaming (inference-only) fused GRU: seeded h carry, returns
+    ``(hs, h_T)``. NOT differentiable (eval path)."""
+    T, B, G3 = gates_t.shape
+    H = G3 // 3
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_gru_fwd(T, B, H, act, quant_bits, interpret, with_init=True)
+    hs = fwd(gates_t.astype(jnp.float32), U.astype(jnp.float32), drop,
+             h0.astype(jnp.float32))
+    return hs, hs[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -519,17 +580,25 @@ def gru_cudnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 @functools.lru_cache(maxsize=32)
 def _build_mgru_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                    interpret: bool):
+                    interpret: bool, with_init: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+    def kernel(*refs):
+        if with_init:
+            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+        else:
+            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            h0_ref = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            h_ref[...] = jnp.zeros_like(h_ref)
+            if with_init:
+                h_ref[...] = h0_ref[...]
+            else:
+                h_ref[...] = jnp.zeros_like(h_ref)
 
         h_prev = h_ref[...]
         u = u_ref[...]                                # (2H, H) [Uh;Uz]
@@ -547,20 +616,25 @@ def _build_mgru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
 
-    def call(gates_t, U, drop_mask):
+    def call(gates_t, U, drop_mask, h0=None):
+        in_specs = [
+            pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+            pl.BlockSpec((B, H), lambda t: (0, 0)),
+        ]
+        args = [gates_t, U, drop_mask]
+        if with_init:
+            in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
+            args.append(h0)
         return pl.pallas_call(
             kernel,
             grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, B, 2 * H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
-                pl.BlockSpec((B, H), lambda t: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
             interpret=interpret,
-        )(gates_t, U, drop_mask)
+        )(*args)
 
     return call
 
@@ -671,23 +745,47 @@ def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     return _op(gates_t, U)
 
 
+def mgru_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
+                           drop_mask: jnp.ndarray, h0: jnp.ndarray,
+                           act: str = "tanh", quant_bits: int = 0,
+                           interpret: bool = False):
+    """Streaming (inference-only) fused minimalGRU: seeded h carry,
+    returns ``(hs, h_T)``. NOT differentiable (eval path)."""
+    T, B, G2 = gates_t.shape
+    H = G2 // 2
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_mgru_fwd(T, B, H, act, quant_bits, interpret,
+                          with_init=True)
+    hs = fwd(gates_t.astype(jnp.float32), U.astype(jnp.float32), drop,
+             h0.astype(jnp.float32))
+    return hs, hs[-1]
+
+
 # ---------------------------------------------------------------------------
 # vanilla RNN
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=32)
 def _build_rnn_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                   interpret: bool):
+                   interpret: bool, with_init: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, h_ref):
+    def kernel(*refs):
+        if with_init:
+            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+        else:
+            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            h0_ref = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            h_ref[...] = jnp.zeros_like(h_ref)
+            if with_init:
+                h_ref[...] = h0_ref[...]
+            else:
+                h_ref[...] = jnp.zeros_like(h_ref)
 
         hq = _q_input(h_ref[...], qbits)
         u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
@@ -696,20 +794,25 @@ def _build_rnn_fwd(T: int, B: int, H: int, act: str, qbits: int,
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
 
-    def call(gates_t, U, drop_mask):
+    def call(gates_t, U, drop_mask, h0=None):
+        in_specs = [
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((H, H), lambda t: (0, 0)),
+            pl.BlockSpec((B, H), lambda t: (0, 0)),
+        ]
+        args = [gates_t, U, drop_mask]
+        if with_init:
+            in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
+            args.append(h0)
         return pl.pallas_call(
             kernel,
             grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((H, H), lambda t: (0, 0)),
-                pl.BlockSpec((B, H), lambda t: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
             interpret=interpret,
-        )(gates_t, U, drop_mask)
+        )(*args)
 
     return call
 
@@ -793,6 +896,20 @@ def rnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
+
+
+def rnn_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
+                          drop_mask: jnp.ndarray, h0: jnp.ndarray,
+                          act: str = "tanh", quant_bits: int = 0,
+                          interpret: bool = False):
+    """Streaming (inference-only) fused vanilla RNN: seeded h carry,
+    returns ``(hs, h_T)``. NOT differentiable (eval path)."""
+    T, B, H = gates_t.shape
+    drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    fwd = _build_rnn_fwd(T, B, H, act, quant_bits, interpret, with_init=True)
+    hs = fwd(gates_t.astype(jnp.float32), U.astype(jnp.float32), drop,
+             h0.astype(jnp.float32))
+    return hs, hs[-1]
 
 
 def fits_vmem(B: int, H: int, n_gates: int) -> bool:
