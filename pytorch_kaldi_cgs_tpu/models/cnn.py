@@ -121,10 +121,16 @@ class _ConvStack(AcousticModel):
             if self.use_laynorm[i]:
                 y = layer_norm_2d(params["ln%d" % i], y)
             if self.use_batchnorm[i]:
-                # torch BatchNorm1d on (B, C, L): stats per channel
+                # torch BatchNorm1d on (B, C, L): stats per channel.
+                # NB eps = the layer's output length: the reference passes
+                # it as BatchNorm1d's SECOND positional argument (eps),
+                # nn.BatchNorm1d(N_filt, int(...), momentum=0.05)
+                # (ref: neural_networks.py:1988-1990, :2102-2104) — a
+                # quirk, but it is the math its published PERs ran with.
                 yt = y.transpose(0, 2, 1)
                 yt, new_state["bn%d" % i] = batch_norm(
-                    params["bn%d" % i], state["bn%d" % i], yt, train)
+                    params["bn%d" % i], state["bn%d" % i], yt, train,
+                    eps=float(self.lens[i]))
                 y = yt.transpose(0, 2, 1)
             y = self._acts[i](y)
             rng, sub = jax.random.split(rng)
@@ -142,7 +148,16 @@ class CNN(_ConvStack):
 
 class SincNet(_ConvStack):
     """CNN whose first layer is a SincConv filterbank
-    (ref: neural_networks.py:2036-2143)."""
+    (ref: neural_networks.py:2036-2143).
+
+    The filter math follows the reference's ``SincConv`` class exactly —
+    NOT ``SincConv_fast``, which the reference defines but never
+    instantiates (SincNet constructs SincConv at
+    ref: neural_networks.py:2315-2317): band edges are stored
+    *normalized by the sample rate* (ref: :2288), the band-pass is the
+    difference of two max-normalized sinc low-passes (ref: :2393-2400),
+    and the Hamming window spans linspace(0, L, L) (ref: :2372-2375).
+    The kernel is forced odd (ref: :2338-2339)."""
     prefix = "sinc"
 
     def __init__(self, options, inp_dim):
@@ -150,13 +165,28 @@ class SincNet(_ConvStack):
         self.sample_rate = int(options.get("sinc_sample_rate", 16000))
         self.min_low_hz = int(options.get("sinc_min_low_hz", 50))
         self.min_band_hz = int(options.get("sinc_min_band_hz", 50))
+        # SincConv forces an odd kernel; the SincNet class's out-length
+        # bookkeeping keeps the configured (possibly even) length
+        # (ref: :2321-2324) — replicate both behaviors
         L = self.len_filt[0]
-        n_lin = np.linspace(0, L / 2 - 1, L // 2)
+        self._sinc_L = L + 1 if L % 2 == 0 else L
+        L = self._sinc_L
+        if L != self.len_filt[0]:
+            # true output lengths shift by one vs the reference's
+            # bookkeeping; recompute honestly for OUR out_dim
+            self.lens = []
+            cur = inp_dim
+            for i in range(self.Nl):
+                k = L if i == 0 else self.len_filt[i]
+                cur = int((cur - k + 1) / self.max_pool_len[i])
+                self.lens.append(cur)
+            self.out_dim = cur * self.N_filt[-1]
+        n_lin = np.linspace(0, L, L)
         self._window = jnp.asarray(
             (0.54 - 0.46 * np.cos(2 * np.pi * n_lin / L)).astype(np.float32))
+        n = (L - 1) / 2
         self._n = jnp.asarray(
-            (2 * np.pi * np.arange(-(L // 2), 0) / self.sample_rate
-             ).astype(np.float32))
+            (np.arange(-n, n + 1) / self.sample_rate).astype(np.float32))
 
     def _first_layer_special(self) -> bool:
         return True
@@ -164,31 +194,42 @@ class SincNet(_ConvStack):
     def init(self, seed: int) -> Dict[str, Any]:
         rng = np.random.RandomState(seed)
         out = self._init_common(rng)
-        # mel-spaced band-edge init (ref: neural_networks.py:2272-2296)
+        # mel-spaced band-edge init, normalized by the sample rate
+        # (ref: neural_networks.py:2280-2296)
         n_filt = self.N_filt[0]
-        low_hz, high_hz = 30.0, self.sample_rate / 2 - (self.min_low_hz + self.min_band_hz)
+        low_hz = 30.0
+        high_hz = self.sample_rate / 2 - (self.min_low_hz + self.min_band_hz)
         def to_mel(hz):
             return 2595 * np.log10(1 + hz / 700)
         def to_hz(mel):
             return 700 * (10 ** (mel / 2595) - 1)
         mel = np.linspace(to_mel(low_hz), to_mel(high_hz), n_filt + 1)
-        hz = to_hz(mel)
+        hz = to_hz(mel) / self.sample_rate
         out["params"]["sinc_low_hz"] = hz[:-1].astype(np.float32)[:, None]
         out["params"]["sinc_band_hz"] = np.diff(hz).astype(np.float32)[:, None]
         return out
 
+    def _sinc(self, x):
+        """Numerically stable sinc over a symmetric grid: compute the
+        left half, mirror it, center = 1 (ref: :2380-2389)."""
+        L = self._sinc_L
+        x_left = x[:, : (L - 1) // 2]
+        y_left = jnp.sin(x_left) / x_left
+        return jnp.concatenate(
+            [y_left, jnp.ones((x.shape[0], 1), x.dtype),
+             jnp.flip(y_left, axis=1)], axis=1)
+
     def _first_layer_filters(self, params):
         """Build the (N_filt, 1, L) sinc band-pass bank from the learned
-        low/band parameters inside the jitted step."""
-        low = self.min_low_hz + jnp.abs(params["sinc_low_hz"])
-        high = jnp.clip(low + self.min_band_hz + jnp.abs(params["sinc_band_hz"]),
-                        self.min_low_hz, self.sample_rate / 2)
-        band = (high - low)[:, 0]
-        f_low = low * self._n[None, :]
-        f_high = high * self._n[None, :]
-        left = ((jnp.sin(f_high) - jnp.sin(f_low)) / (self._n[None, :] / 2)
-                ) * self._window[None, :]
-        center = 2 * band[:, None]
-        filters = jnp.concatenate([left, center, jnp.flip(left, axis=1)], axis=1)
-        filters = filters / (2 * band[:, None])
-        return filters[:, None, :]
+        normalized low/band parameters inside the jitted step
+        (ref: neural_networks.py:2391-2407)."""
+        low = self.min_low_hz / self.sample_rate + jnp.abs(
+            params["sinc_low_hz"])
+        high = low + self.min_band_hz / self.sample_rate + jnp.abs(
+            params["sinc_band_hz"])
+        two_pi_sr = 2 * np.pi * self.sample_rate
+        low_pass1 = 2 * low * self._sinc(low * self._n[None, :] * two_pi_sr)
+        low_pass2 = 2 * high * self._sinc(high * self._n[None, :] * two_pi_sr)
+        band_pass = low_pass2 - low_pass1
+        band_pass = band_pass / jnp.max(band_pass, axis=1, keepdims=True)
+        return (band_pass * self._window[None, :])[:, None, :]

@@ -119,12 +119,13 @@ def layer_norm_safe(params: Dict[str, Array], x: Array,
 
 
 def layer_norm_2d(params: Dict[str, Array], x: Array, eps: float = 1e-6) -> Array:
-    """LayerNorm over the trailing (C, L) dims (CNN/SincNet variant,
-    ref: neural_networks.py:1985-1987 LayerNorm([N_filt, L]))."""
-    axes = (-2, -1)
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    n = x.shape[-1] * x.shape[-2]
-    var = jnp.sum((x - mean) ** 2, axis=axes, keepdims=True) / max(n - 1, 1)
+    """The CNN/SincNet LayerNorm([N_filt, L]) variant: (C, L)-shaped
+    gamma/beta, but statistics over the LAST axis only — the reference's
+    LayerNorm.forward always reduces dim=-1 regardless of the parameter
+    shape (ref: neural_networks.py:40-51, constructed at :1985-1987)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
     return params["gamma"] * (x - mean) / (jnp.sqrt(var) + eps) + params["beta"]
 
 

@@ -128,6 +128,24 @@ def ref_state_dict_to_variables(sd: Mapping[str, Any], model) -> Dict[str, Any]:
                 masks["ghcgs_w%d" % i] = _as_np(sd["ghcgs.%d.mask" % i])
         return variables
 
+    if cls in ("CNN", "SincNet"):
+        # ref conv stacks: conv.{i} (SincNet's conv.0 is SincConv with
+        # low_hz_/band_hz_ parameters instead of weight/bias,
+        # ref: neural_networks.py:2315-2317)
+        for i in range(model.Nl):
+            w = sd.get("conv.%d.weight" % i)
+            if w is not None:
+                params["conv_w%d" % i] = _as_np(w)
+            b = sd.get("conv.%d.bias" % i)
+            if b is not None:
+                params["conv_b%d" % i] = _as_np(b)
+            _put_norms(sd, params, state, "ln.%d" % i, "ln%d" % i)
+            _put_norms(sd, params, state, "bn.%d" % i, "bn%d" % i)
+        if "conv.0.low_hz_" in sd:
+            params["sinc_low_hz"] = _as_np(sd["conv.0.low_hz_"])
+            params["sinc_band_hz"] = _as_np(sd["conv.0.band_hz_"])
+        return variables
+
     if hasattr(model, "gates_x"):       # custom recurrent family
         for i in range(model.N):
             for g in model.gates_x + model.gates_h:
