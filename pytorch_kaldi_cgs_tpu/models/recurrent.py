@@ -384,6 +384,23 @@ class _RecurrentBase(AcousticModel):
             return False
         return self._fused_lstm_ok(use_ln, act_name, B, H)
 
+    def _stream_fused(self, stream_fn, gates_t, U, drop_mask, act_name,
+                      qb, B, H):
+        """Run a seeded-carry ``*_scan_fused_stream`` kernel under an
+        active streaming context: pop the initial h carry (zeros on the
+        first chunk), push the final one. Mirrors the LSTM streaming
+        branch in LSTM._run_scan."""
+        from .base import stream_state
+        ss = stream_state()
+        z = jnp.zeros((B, H), jnp.float32)
+        h0 = ss.next_carry(z)
+        hs, fin = stream_fn(
+            gates_t.astype(jnp.float32), U.astype(jnp.float32), drop_mask,
+            h0, act=act_name, quant_bits=qb,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        ss.carries_out.append(fin)
+        return hs
+
     def _maybe_bidir_in(self, x):
         if self.bidir:
             return jnp.concatenate([x, _flip_time(x)], axis=1)
@@ -430,19 +447,24 @@ class _RecurrentBase(AcousticModel):
                   act_name="", layer=-1):
         raise NotImplementedError
 
-    def _scan_cell(self, step, params, bargs, carry0, gates_t):
+    def _scan_cell(self, step, params, bargs, carry0, gates_t,
+                   slab_fn=None):
         """Run the cell recurrence: ``step(params, bargs, carry, g_t) ->
         (carry, h)``, pure. Dispatches to the sequence-pipelined scan
         (time axis sharded over the mesh's "seq" axis, ppermute carry
         handoff) when a seq_parallel context is active, else plain
-        lax.scan."""
+        lax.scan. ``slab_fn`` (optional) is the cell's seeded-carry
+        fused whole-slab kernel; the pipelined scan uses it per (slab,
+        microbatch) cell when the time axis divides evenly."""
         from ..parallel.seqpipe import seq_parallel_context, seq_pipeline_scan
         from .base import stream_state
         ctx = seq_parallel_context()
         if ctx is not None:
+            slab = slab_fn if (slab_fn is not None and gates_t.shape[0]
+                               % ctx.mesh.shape[ctx.axis] == 0) else None
             _, hs = seq_pipeline_scan(
                 step, params, bargs, carry0, gates_t, mesh=ctx.mesh,
-                axis=ctx.axis, microbatches=ctx.microbatches)
+                axis=ctx.axis, microbatches=ctx.microbatches, slab_fn=slab)
             return hs
         ss = stream_state()
         if ss is not None:
@@ -572,7 +594,10 @@ class LSTM(_RecurrentBase):
             return lstm_scan_fused(gates_t.astype(jnp.float32),
                                    U.astype(jnp.float32), drop_mask,
                                    act=act_name, quant_bits=qb,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   compute_dtype=(
+                                       "bf16" if self.compute_dtype
+                                       is not None else ""))
         from .base import stream_state
         ss = stream_state()
         if ss is not None and self._fused_lstm_ok(use_ln, act_name, B, H):
@@ -604,8 +629,28 @@ class LSTM(_RecurrentBase):
                 h = layer_norm(ln_, h)
             return (h, c), h
 
+        # seeded-carry fused slab kernel for seq-parallel contexts: the
+        # whole T/S slab runs one Pallas call per (slab, microbatch)
+        # cell and BPTT crosses slabs through (dh0, dc0) + the ppermute
+        # transpose — the SP path no longer pays the lax.scan fallback
+        slab_fn = None
+        if self._fused_lstm_ok(use_ln, act_name, B, H):
+            from ..ops.fused_lstm import lstm_scan_fused_seeded
+
+            def slab_fn(params_, bargs_, carry, g_slab):
+                U_, _ = params_
+                (dm,) = bargs_
+                h0_, c0_ = carry
+                hs, fin = lstm_scan_fused_seeded(
+                    g_slab.astype(jnp.float32), U_.astype(jnp.float32),
+                    dm, h0_.astype(jnp.float32), c0_.astype(jnp.float32),
+                    act=act_name, quant_bits=qb, interpret=interpret,
+                    compute_dtype=("bf16" if self.compute_dtype
+                                   is not None else ""))
+                return fin, hs
+
         return self._scan_cell(step, (U, ln_p), (drop_mask,), (h0, h0),
-                               gates_t)
+                               gates_t, slab_fn=slab_fn)
 
 
 class GRU(_RecurrentBase):
@@ -635,6 +680,13 @@ class GRU(_RecurrentBase):
                                   U.astype(jnp.float32), drop_mask,
                                   act=act_name, quant_bits=qb,
                                   interpret=interpret)
+        from .base import stream_state
+        if stream_state() is not None and \
+                self._fused_rnn_ok(use_ln, act_name, B, H, 3):
+            from ..ops.fused_rnn import gru_scan_fused_stream
+            return self._stream_fused(gru_scan_fused_stream,
+                                      jnp.concatenate(proj, axis=-1), U,
+                                      drop_mask, act_name, qb, B, H)
         wh, wz, wr = proj
         gates_t = jnp.concatenate([wh, wz, wr], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -684,6 +736,13 @@ class liGRU(_RecurrentBase):
                                     U.astype(jnp.float32), drop_mask,
                                     act=act_name, quant_bits=qb,
                                     interpret=interpret)
+        from .base import stream_state
+        if stream_state() is not None and \
+                self._fused_rnn_ok(use_ln, act_name, B, H, 2):
+            from ..ops.fused_rnn import ligru_scan_fused_stream
+            return self._stream_fused(ligru_scan_fused_stream,
+                                      jnp.concatenate(proj, axis=-1), U,
+                                      drop_mask, act_name, qb, B, H)
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -731,6 +790,13 @@ class minimalGRU(_RecurrentBase):
                                    U.astype(jnp.float32), drop_mask,
                                    act=act_name, quant_bits=qb,
                                    interpret=interpret)
+        from .base import stream_state
+        if stream_state() is not None and \
+                self._fused_rnn_ok(use_ln, act_name, B, H, 2):
+            from ..ops.fused_rnn import mgru_scan_fused_stream
+            return self._stream_fused(mgru_scan_fused_stream,
+                                      jnp.concatenate(proj, axis=-1), U,
+                                      drop_mask, act_name, qb, B, H)
         wh, wz = proj
         gates_t = jnp.concatenate([wh, wz], axis=-1)
         h0 = jnp.zeros((B, H), gates_t.dtype)
@@ -777,6 +843,12 @@ class RNN(_RecurrentBase):
                                   U.astype(jnp.float32), drop_mask,
                                   act=act_name, quant_bits=qb,
                                   interpret=interpret)
+        from .base import stream_state
+        if stream_state() is not None and \
+                self._fused_rnn_ok(use_ln, act_name, B, H, 1):
+            from ..ops.fused_rnn import rnn_scan_fused_stream
+            return self._stream_fused(rnn_scan_fused_stream, proj[0], U,
+                                      drop_mask, act_name, qb, B, H)
         wh = proj[0]
         h0 = jnp.zeros((B, H), wh.dtype)
 

@@ -86,7 +86,8 @@ def pick_microbatches(B: int, S: int, requested: Optional[int] = None) -> int:
 
 def seq_pipeline_scan(step: Callable, params: Any, bargs: Sequence,
                       carry0: Any, xs: jnp.ndarray, *, mesh: Mesh,
-                      axis: str = "seq", microbatches: Optional[int] = None):
+                      axis: str = "seq", microbatches: Optional[int] = None,
+                      slab_fn: Optional[Callable] = None):
     """Pipelined equivalent of
     ``lax.scan(lambda c, x: step(params, bargs, c, x), carry0, xs)``.
 
@@ -103,9 +104,20 @@ def seq_pipeline_scan(step: Callable, params: Any, bargs: Sequence,
     through unchanged (a per-step validity flag gates the carry update),
     so both the outputs ys[:T] and the returned final carry are exactly
     lax.scan's.
+
+    ``slab_fn(params, bargs_mb, carry_mb, xs_slab) -> (carry_out, ys)``,
+    when given, replaces the per-timestep lax.scan over one (slab,
+    microbatch) cell with a whole-slab call — the hook that lets the
+    recurrent cells run their seeded-carry FUSED Pallas kernels inside
+    sequence-parallel slabs (differentiable: BPTT crosses slabs through
+    the ppermute transpose and the kernel's (dh0, dc0) outputs). Only
+    legal when T divides evenly by S (no padded steps to gate).
     """
     S = mesh.shape[axis]
     T, B = xs.shape[0], xs.shape[1]
+    if slab_fn is not None and T % S:
+        raise ValueError("slab_fn requires T %% S == 0 (got T=%d, S=%d)"
+                         % (T, S))
     M = pick_microbatches(B, S, microbatches)
     Bm = B // M
     Tl = -(-T // S)  # ceil
@@ -159,7 +171,10 @@ def seq_pipeline_scan(step: Callable, params: Any, bargs: Sequence,
                     lambda a, b: jnp.where(valid, a, b), c2, c)
                 return c2, y
 
-            cout, ys = jax.lax.scan(guarded, cin, (x_mb, tmask_l))
+            if slab_fn is not None:
+                cout, ys = slab_fn(params, b_mb, cin, x_mb)
+            else:
+                cout, ys = jax.lax.scan(guarded, cin, (x_mb, tmask_l))
             ybuf = put(ybuf, jnp.where(active, ys,
                                        take(ybuf, mc, 1, keepdims=False)),
                        mc, 1)

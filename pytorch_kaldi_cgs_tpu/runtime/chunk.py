@@ -133,6 +133,28 @@ _NONSTRUCTURAL = {"arch_lr", "arch_pretrain_file", "out_folder", "seed",
                   "out_info", "cmd"}
 
 
+def _mask_fingerprint(variables) -> tuple:
+    """Content hash of the compression masks (they bake static layout
+    constants into the runner's traces). Host (numpy) masks — fresh init
+    or checkpoint-loaded, the two ways different masks can reach a
+    structurally-equal config — are hashed by value; device-resident
+    masks only occur on in-memory continuation from a previous chunk of
+    the same run (same masks by construction), so shape identity
+    suffices there and no bytes cross the device tunnel."""
+    import hashlib
+    parts = []
+    for arch in sorted(variables):
+        for name in sorted(variables[arch].get("masks", {})):
+            m = variables[arch]["masks"][name]
+            if isinstance(m, np.ndarray):
+                parts.append((arch, name, m.shape,
+                              hashlib.sha1(np.ascontiguousarray(m)
+                                           .tobytes()).hexdigest()))
+            else:
+                parts.append((arch, name, tuple(m.shape), "device"))
+    return tuple(parts)
+
+
 def _runner_key(config, chunk: ChunkData):
     parts = [config["exp"]["to_do"], config["model"]["model"]]
     for sec in sorted(config.sections()):
@@ -154,6 +176,8 @@ class ChunkRunner:
     replicate, the loss mean's psum rides the interconnect — GSPMD
     places the gradient all-reduce exactly where DataParallel's NCCL
     allreduce sat."""
+
+    mask_fp: Any = None   # set by run_nn; part of the cache validity check
 
     def __init__(self, graph: NetGraph, config):
         self.graph = graph
@@ -354,13 +378,8 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
         prefetch_thread.start()
 
     key = _runner_key(config, chunk)
-    if key in _RUNNER_CACHE:
-        runner = _RUNNER_CACHE[key]
-        graph = runner.graph
-    else:
-        graph = NetGraph(config, chunk)
-        runner = ChunkRunner(graph, config)
-        _RUNNER_CACHE[key] = runner
+    cached = _RUNNER_CACHE.get(key)
+    graph = cached.graph if cached is not None else NetGraph(config, chunk)
 
     # init or restore per-net variables + optimizer states
     if variables is None:
@@ -378,6 +397,23 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
             else:
                 new_vars[arch] = variables[arch]
         variables = new_vars
+
+    # A structurally-equal config with DIFFERENT masks (other seed, other
+    # checkpoint) can produce same-shaped block layouts whose col_idx
+    # constants are baked into the cached runner's traces — jit would
+    # silently reuse them. Fingerprint the masks and rebuild on mismatch
+    # (covers run_test / decoding / tune_hyperparameters sequences in one
+    # process without relying on run_exp's cache clear).
+    fp = _mask_fingerprint(variables)
+    if cached is not None and cached.mask_fp == fp:
+        runner = cached
+    else:
+        if cached is not None:
+            graph = NetGraph(config, chunk)
+        runner = ChunkRunner(graph, config)
+        runner.mask_fp = fp
+        _RUNNER_CACHE[key] = runner
+
     # derive static block-sparse layouts from the (host) masks and
     # convert eligible weights to packed storage BEFORE the optimizer
     # state is built (opt state must mirror the packed leaves)

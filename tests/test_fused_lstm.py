@@ -48,6 +48,88 @@ def test_fused_forward_and_grads_match_scan():
                                atol=1e-4)
 
 
+def _scan_ref_seeded(g, U, drop, h0, c0, act=jnp.tanh):
+    def step(carry, g_t):
+        h, c = carry
+        u = jnp.einsum("bh,gh->bg", h, U)
+        gf, gi, go, gc = jnp.split(g_t + u, 4, axis=-1)
+        c = jax.nn.sigmoid(gi) * act(gc) * drop + jax.nn.sigmoid(gf) * c
+        h = jax.nn.sigmoid(go) * act(c)
+        return (h, c), h
+
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), g)
+    return hs, (hT, cT)
+
+
+def test_fused_seeded_forward_and_grads_match_scan():
+    """The seeded-carry fused kernel now has a VJP (VERDICT round-3
+    item 4): forward, final state, and gradients — including the
+    cotangents flowing through h0/c0 and into the final state — all
+    match a seeded lax.scan."""
+    from pytorch_kaldi_cgs_tpu.ops.fused_lstm import lstm_scan_fused_seeded
+    T, B, H = 11, 3, 16
+    rng = np.random.RandomState(2)
+    g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
+    U = jnp.asarray(rng.randn(4 * H, H) * 0.2, jnp.float32)
+    h0 = jnp.asarray(rng.randn(B, H) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.randn(B, H) * 0.3, jnp.float32)
+    drop = jnp.asarray((rng.rand(B, H) > 0.2), jnp.float32)
+
+    hs_ref, (hT_ref, cT_ref) = _scan_ref_seeded(g, U, drop, h0, c0)
+    hs, (hT, cT) = lstm_scan_fused_seeded(g, U, drop, h0, c0,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cT), np.asarray(cT_ref), atol=1e-6)
+
+    tgt = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+
+    def loss_ref(g, U, h0, c0):
+        hs, (hT, cT) = _scan_ref_seeded(g, U, drop, h0, c0)
+        return (jnp.sum((hs - tgt) ** 2) + jnp.sum(hT * hT)
+                + jnp.sum(jnp.tanh(cT)))
+
+    def loss_fused(g, U, h0, c0):
+        hs, (hT, cT) = lstm_scan_fused_seeded(g, U, drop, h0, c0,
+                                              interpret=True)
+        return (jnp.sum((hs - tgt) ** 2) + jnp.sum(hT * hT)
+                + jnp.sum(jnp.tanh(cT)))
+
+    gr_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(g, U, h0, c0)
+    gr = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(g, U, h0, c0)
+    for a, b in zip(gr, gr_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_bf16_compute_close_to_f32():
+    """compute_dtype="bf16" (recurrent dots in bf16, f32 accumulation
+    and carries) stays within mixed-precision tolerance of the f32
+    lax.scan forward AND its gradients — the bench's PKC_COMPUTE_DTYPE
+    path (VERDICT round-3 item 2)."""
+    T, B, H = 24, 4, 32
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.randn(T, B, 4 * H) * 0.5, jnp.float32)
+    U = jnp.asarray(rng.randn(4 * H, H) * 0.2, jnp.float32)
+    drop = jnp.ones((B, H), jnp.float32)
+    hs_ref = _scan_ref(g, U, drop)
+    hs = lstm_scan_fused(g, U, drop, interpret=True, compute_dtype="bf16")
+    # |h| <= 1 (tanh output); bf16 has ~3 decimal digits, recurrence
+    # accumulates — 2e-2 abs is the observed envelope with margin
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref),
+                               atol=2e-2)
+    assert float(jnp.max(jnp.abs(hs - hs_ref))) > 0  # really ran bf16
+
+    tgt = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+    gr_ref = jax.grad(lambda g, U: jnp.mean(
+        (_scan_ref(g, U, drop) - tgt) ** 2), argnums=(0, 1))(g, U)
+    gr = jax.grad(lambda g, U: jnp.mean(
+        (lstm_scan_fused(g, U, drop, interpret=True,
+                         compute_dtype="bf16") - tgt) ** 2),
+        argnums=(0, 1))(g, U)
+    for a, b in zip(gr, gr_ref):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2
+
+
 def test_fused_quantized_dU_uses_per_step_scale():
     """With activation quantization, dU must be computed against the
     PER-STEP quantized h (the fwd kernel's scale is max|h| of each

@@ -136,6 +136,73 @@ def test_seq_parallel_skips_fused_kernels():
     assert net._use_fused_scan(False, "tanh", 8, 16) is True
 
 
+def test_seq_parallel_runs_seeded_fused_slab_and_grads_match(monkeypatch):
+    """When T divides the seq axis, the LSTM runs its SEEDED-CARRY fused
+    kernel per (slab, microbatch) cell (lstm_scan_fused_seeded — the
+    VJP-capable variant, VERDICT round-3 item 4) instead of the lax.scan
+    fallback; outputs AND gradients match the plain scan to 1e-4."""
+    from pytorch_kaldi_cgs_tpu.models import LSTM
+    from pytorch_kaldi_cgs_tpu.ops import fused_lstm as FL
+
+    calls = {"n": 0}
+    real = FL.lstm_scan_fused_seeded
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(FL, "lstm_scan_fused_seeded", spy)
+
+    opts = {"to_do": "train", "arch_name": "t", "out_folder": "/tmp",
+            "lstm_lay": "16,16", "lstm_drop": "0.0,0.0",
+            "lstm_use_batchnorm": "False,False",
+            "lstm_use_laynorm": "False,False",
+            "lstm_use_laynorm_inp": "False",
+            "lstm_use_batchnorm_inp": "False",
+            "lstm_act": "tanh,tanh", "lstm_orthinit": "True",
+            "lstm_bidir": "False",
+            "lstm_fused_scan": "True"}  # force-eligible on CPU (interpret)
+    net = LSTM(opts, 9)
+    v = net.init(0)
+    T, B = 40, 8          # T % S == 0 -> slab path legal
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(T, B, 9), jnp.float32)
+    tgt = jnp.asarray(rng.randn(T, B, 16), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    mesh = _mesh()
+
+    def loss_plain(v, x):
+        # neutralize the zero-state fused path so the reference really
+        # is the lax.scan cell (they are exact-equal anyway; this keeps
+        # the comparison honest)
+        out, _ = plain.apply(v, x, train=True, rng=key)
+        return jnp.mean((out - tgt) ** 2)
+
+    plain_opts = dict(opts)
+    plain_opts["lstm_fused_scan"] = "False"
+    plain = LSTM(plain_opts, 9)
+
+    def loss_piped(v, x):
+        with seq_parallel(mesh):
+            out, _ = net.apply(v, x, train=True, rng=key)
+        return jnp.mean((out - tgt) ** 2)
+
+    # NB must run under jit: this jax version's EAGER shard_map impl
+    # rejects partial-manual out_specs (the production path always jits)
+    l_ref, g_ref = jax.jit(jax.value_and_grad(
+        lambda vv: loss_plain(vv, x)))(v)
+    l_sp, g_sp = jax.jit(jax.value_and_grad(
+        lambda vv: loss_piped(vv, x)))(v)
+
+    assert calls["n"] >= 2, "seeded fused slab kernel did not run"
+    np.testing.assert_allclose(float(l_sp), float(l_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_production_seq_parallel_matches_single_device_loss(tmp_path):
     """The production chunk path with [exp] seq_parallel = 4 reproduces
     the single-device training losses (LSTM flagship shape, CPU mesh)."""

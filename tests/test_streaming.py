@@ -168,6 +168,42 @@ def test_streaming_recognizer_end_to_end():
     assert len(final) == 2 and all(len(f) >= 1 for f in final)
 
 
+@pytest.mark.parametrize("cls_name,prefix,act", [
+    ("GRU", "gru", "tanh"), ("liGRU", "ligru", "relu"),
+    ("minimalGRU", "minimalgru", "tanh"), ("RNN", "rnn", "tanh")])
+def test_rnn_family_fused_stream_matches_scan_stream(cls_name, prefix, act):
+    """Each cell's seeded-carry ``*_scan_fused_stream`` kernel (wired
+    through _RecurrentBase._stream_fused) and the plain scan streaming
+    path produce identical chunk outputs AND identical carried state
+    across a chunk boundary."""
+    def build(force_fused):
+        opts = {"to_do": "forward", "arch_name": "t", "out_folder": "/tmp",
+                prefix + "_lay": "16,16", prefix + "_drop": "0.0,0.0",
+                prefix + "_use_batchnorm": "False,False",
+                prefix + "_use_laynorm": "False,False",
+                prefix + "_use_laynorm_inp": "False",
+                prefix + "_use_batchnorm_inp": "False",
+                prefix + "_act": "%s,%s" % (act, act),
+                prefix + "_orthinit": "True", prefix + "_bidir": "False",
+                prefix + "_fused_scan": "True" if force_fused else "False"}
+        return getattr(M, cls_name)(opts, 9)
+
+    fused = build(True)
+    plain = build(False)
+    v = fused.init(0)
+    x = jnp.asarray(np.random.RandomState(5).randn(24, 3, 9), jnp.float32)
+    cf = cp = None
+    for chunk in _chunks(x, [9, 15]):
+        yf, cf = fused.apply_streaming(v, chunk, cf)
+        yp, cp = plain.apply_streaming(v, chunk, cp)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(cf),
+                        jax.tree_util.tree_leaves(cp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_lstm_fused_stream_matches_scan_stream():
     """The seeded-carry fused kernel (lstm_scan_fused_stream) and the
     plain scan streaming path produce identical chunk outputs AND
