@@ -55,8 +55,14 @@ def build_train_step():
 
     T, B = 300, 16
     FEAT, NOUT = 143, 1944
+    # bf16 compute (f32 params/accum) is the production default: the
+    # mixed-precision recipe every TPU training stack uses. Closeness vs
+    # f32 is test-pinned (tests/test_fused_lstm.py::
+    # test_fused_bf16_compute_close_to_f32, tests/test_models.py bf16
+    # parity); PKC_COMPUTE_DTYPE= (empty) reverts to pure f32.
     lstm, mlp = _flagship(hidden=512, feat_dim=FEAT, n_out=NOUT, hcgs=True,
-                          compute_dtype=os.environ.get("PKC_COMPUTE_DTYPE", ""))
+                          compute_dtype=os.environ.get("PKC_COMPUTE_DTYPE",
+                                                       "bfloat16"))
     variables = {"lstm": lstm.init(0), "mlp": mlp.init(1)}
     lstm.prepare_block_sparse(variables["lstm"])
     tx = make_optimizer({"arch_opt": "rmsprop", "arch_lr": "0.0016",
@@ -200,6 +206,8 @@ def main():
         "block_sparse_speedup": bs_speedup,
         "device_kind": kind,
         "peak_bf16_tflops": peak,
+        "compute_dtype": os.environ.get("PKC_COMPUTE_DTYPE", "bfloat16")
+        or "float32",
     }))
 
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from pytorch_kaldi_cgs_tpu.ops.fused_lstm import lstm_scan_fused
-from pytorch_kaldi_cgs_tpu.utils.timing import device_loop_time
+from pytorch_kaldi_cgs_tpu.utils.timing import chained_step_time
 
 
 def main():
@@ -51,7 +51,13 @@ def main():
                        ("fwd+bwd bf16", train_bf16)]}
     todo = cases["fwd"] + cases["train"] if only == "all" else cases[only]
     for name, fn in todo:
-        t = device_loop_time(fn, g, n_lo=3, n_hi=12)
+        # composite grad-of-pallas steps must be timed by CHAINED
+        # dispatches, not an on-device fori_loop (PERF.md methodology
+        # item 3: XLA's while-loop schedule measured 12x slower)
+        jf = jax.jit(fn)
+        t = chained_step_time(jf, (g,), chain=lambda cur, out, i: (out,),
+                              readback=lambda out: out, n_lo=2, n_hi=10,
+                              repeats=2)
         print("%-14s %.3f ms" % (name, t * 1e3), flush=True)
 
 

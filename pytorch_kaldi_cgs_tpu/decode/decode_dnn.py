@@ -99,7 +99,12 @@ def _load_word_fst_data(graph_dir: str, spec):
             word_ids = read_symbol_table(words_txt)
             lexicon = read_lexicon(lex_path, {})
             word_ids = {w: i for w, i in word_ids.items() if i > 0}
-            hclg = build_word_graph(lexicon, word_ids, spp)
+            # a first-pass ARPA shipped with the graph dir becomes the
+            # grammar (and the LM that lattice rescoring subtracts)
+            arpa = os.path.join(graph_dir, "lm.arpa")
+            hclg = build_word_graph(lexicon, word_ids, spp,
+                                    arpa_path=arpa if os.path.exists(arpa)
+                                    else None)
             tmp = cache + ".tmp.%d" % os.getpid()
             write_fst(tmp, hclg)
             os.replace(tmp, cache)       # atomic vs concurrent decoders
@@ -127,7 +132,9 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
                text_file: str, acwt: float = 0.2, beam: float = 13.0,
                max_active: int = 7000,
                phone_map_file: Optional[str] = None,
-               num_workers: int = 4, engine: str = "auto"
+               num_workers: int = 4, engine: str = "auto",
+               rescore_arpa: Optional[str] = None,
+               first_pass_arpa: Optional[str] = None
                ) -> Dict[str, float]:
     """Decode every ark matching ``ark_glob``, score, write results.
 
@@ -135,6 +142,13 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
     Viterbi), or "auto" (native when the library is available). Word
     graphs (HCLG.fst + words.txt, or a lexicon-bearing graph dir) decode
     word sequences and score WER; otherwise the phone loop scores PER.
+
+    ``rescore_arpa``: path to a second-pass ARPA LM — word decodes then
+    generate LATTICES and each is LM-rescored (the fglarge second pass
+    of ref README.md:278-283, role of steps/lmrescore*.sh). The
+    first-pass grammar's ARPA is ``first_pass_arpa`` (default:
+    <graph_dir>/lm.arpa), needed to subtract its scores.
+
     Returns the score dict (wer/sub/ins/del/...). Writes
     ``<out_dir>/hyp.txt``, ``<out_dir>/wer`` and ``scoring_summary``.
     """
@@ -144,6 +158,18 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
         raise FileNotFoundError("no posterior arks match %s" % ark_glob)
 
     word_spec = _word_graph_files(graph_dir)
+    old_lm = new_lm = None
+    if rescore_arpa:
+        from .rescore import ArpaLM
+        if word_spec is None:
+            raise ValueError("rescore_arpa requires a word-level graph dir")
+        fp = first_pass_arpa or os.path.join(graph_dir, "lm.arpa")
+        if not os.path.exists(fp):
+            raise FileNotFoundError(
+                "LM rescoring needs the first-pass ARPA to subtract its "
+                "scores: pass first_pass_arpa or put lm.arpa in %s"
+                % graph_dir)
+        old_lm, new_lm = ArpaLM(fp), ArpaLM(rescore_arpa)
 
     use_native = False
     if engine in ("auto", "native"):
@@ -167,8 +193,16 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
                 fst = N.NativeFst.from_data(fst_data)  # per-worker CSR
                 out: Dict[str, List] = {}
                 for key, mat in N.read_mat_ark_native(a):
-                    ids = fst.decode(mat, beam=beam, max_active=max_active,
-                                     acwt=acwt)
+                    if old_lm is not None:
+                        from .rescore import lm_rescore_lattice
+                        lat = fst.decode_lattice(
+                            mat, beam=beam, max_active=max_active,
+                            acwt=acwt)
+                        ids, _ = lm_rescore_lattice(lat, id2word, old_lm,
+                                                    new_lm)
+                    else:
+                        ids = fst.decode(mat, beam=beam,
+                                         max_active=max_active, acwt=acwt)
                     out[key] = [id2word.get(i, "<unk>") for i in ids]
                 return out
             for part in ex.map(work, arks):

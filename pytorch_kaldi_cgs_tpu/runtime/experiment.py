@@ -263,6 +263,16 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                      int(m_max.group(1)) > int(m_min.group(1)))
         beam = float(config["decoding"].get("beam", 13.0))
         max_active = int(config["decoding"].get("max_active", 7000))
+        # [decoding] rescore_arpa: second-pass LM for lattice rescoring
+        # (fglarge-class, ref README.md:278-283); the first-pass ARPA is
+        # rescore_first_pass_arpa or <graph_dir>/lm.arpa
+        rescore_arpa = config["decoding"].get("rescore_arpa", "").strip()
+        first_pass_arpa = config["decoding"].get(
+            "rescore_first_pass_arpa", "").strip()
+        rescore_kw = {}
+        if rescore_arpa:
+            rescore_kw = {"rescore_arpa": rescore_arpa,
+                          "first_pass_arpa": first_pass_arpa or None}
         for fwd_data in forward_lst:
             sec = cfg_item2sec(config, "data_name", fwd_data)
             lab_names, lab_folders, _ = parse_lab_field(config[sec]["lab"])
@@ -302,11 +312,11 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                             dec_dir, ark_glob, graph_dir, text_file,
                             min_lmwt=int(m_min.group(1)),
                             max_lmwt=int(m_max.group(1)),
-                            beam=beam, max_active=max_active)
+                            beam=beam, max_active=max_active, **rescore_kw)
                     else:
                         res = decode_dnn(dec_dir, ark_glob, graph_dir,
                                          text_file, acwt=acwt, beam=beam,
-                                         max_active=max_active)
+                                         max_active=max_active, **rescore_kw)
                     line = "%%WER %.2f [decode_%s_out_%s%s]" % (
                         res["wer"], fwd_data, fo,
                         " lmwt=%d" % res["lmwt"] if "lmwt" in res else "")
