@@ -418,6 +418,14 @@ def create_configs(config: configparser.ConfigParser) -> None:
                 max_seq_curr = min(max_seq_curr, int(max_seq_arr[ep]))
 
         ep = n_ep - 1
+        # [exp] forward_with_pretrain = True makes the forward chunks
+        # load the GLOBAL arch_pretrain_file instead of the last
+        # training chunk's checkpoint — the run_test surface: forward a
+        # post-pruned/pattern-pruned model without retraining
+        # (ref: run_test.py:182-216 loads the pruned pkl directly)
+        fwd_pt = model_files
+        if strtobool(config["exp"].get("forward_with_pretrain", "False")):
+            fwd_pt = {a: config[a]["arch_pretrain_file"] for a in arch_secs}
         for fwd_data in forward_lst:
             n_ck = compute_n_chunks(out_folder, fwd_data, ep, n_ep_fmt, "forward")
             ck_fmt = _ep_fmt(n_ck)
@@ -428,7 +436,7 @@ def create_configs(config: configparser.ConfigParser) -> None:
                                               format(ck, ck_fmt)))
                 cfg_chunk = stem + ".cfg"
                 chunk_list.write(cfg_chunk + "\n")
-                write_cfg_chunk(config, cfg_chunk, cfg_proto_chunk, model_files,
+                write_cfg_chunk(config, cfg_chunk, cfg_proto_chunk, fwd_pt,
                                 stem + "_*.lst", stem + ".info", "forward",
                                 fwd_data, lr, max_seq_curr,
                                 _all_data_names(config), ep, ck,

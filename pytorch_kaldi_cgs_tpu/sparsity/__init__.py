@@ -5,4 +5,5 @@ from .pattern import (pattern_mask, coo_mask, pattern_coo_mask, random_patterns,
                       find_top_k_by_kmeans, apply_patterns,
                       generate_complete_pattern_set, find_top_k_by_similarity,
                       cal_sparsity)
+from .pruning import PruningConfig, prune_params, pruning, model_sparsity
 from . import storage

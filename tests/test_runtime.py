@@ -303,7 +303,9 @@ def test_decoding_cli(synth_root):
 
 def test_run_test_cli_pattern_prune(synth_root):
     """bin.run_test applies [pattern] post-training pruning and re-runs
-    forward+decode from the pruned checkpoints."""
+    forward+decode FROM THE PRUNED checkpoints (the forward arks must
+    change — the round-3 code regenerated the pkl but still forwarded
+    the unpruned model)."""
     tmp, root = synth_root
     cfg_src = str(tmp / "mlp.cfg")
     if not os.path.exists(cfg_src):
@@ -313,6 +315,9 @@ def test_run_test_cli_pattern_prune(synth_root):
     text += "\n[pattern]\npattern_prun = True\npattern_num = 4\n" \
             "pattern_shape = 4,4\npattern_nnz = 8\n"
     open(cfg, "w").write(text)
+    arks_before = {p: open(p, "rb").read() for p in glob.glob(
+        os.path.join(str(tmp / "exp_mlp"), "exp_files", "forward_*.ark"))}
+    assert arks_before, "mlp e2e left no forward arks"
     from pytorch_kaldi_cgs_tpu.bin.run_test import main
     assert main([cfg]) == 0
     pruned = glob.glob(os.path.join(str(tmp / "exp_mlp"), "exp_files",
@@ -325,6 +330,47 @@ def test_run_test_cli_pattern_prune(synth_root):
         w.shape[0] // 4, 4, w.shape[1] // 4, 4).transpose(0, 2, 1, 3)
     counts = blocks.reshape(-1, 16).sum(1)
     assert (counts <= 8).all() and counts.max() == 8
+    # forward re-ran with the pruned model: posteriors differ
+    changed = False
+    for p, before in arks_before.items():
+        assert os.path.exists(p), "forward ark %s not regenerated" % p
+        if open(p, "rb").read() != before:
+            changed = True
+    assert changed, "forward output identical — pruned model not used"
+
+
+def test_run_test_cli_unified_pruning(synth_root):
+    """bin.run_test's [pruning] section drives the unified pruning()
+    dispatcher (ref sparsity/sparsity.py:33-270) over the final
+    checkpoints before forward+decode (SURVEY table row 52)."""
+    tmp, root = synth_root
+    cfg_src = str(tmp / "mlp.cfg")
+    if not os.path.exists(cfg_src):
+        pytest.skip("mlp e2e has not run")
+    cfg = str(tmp / "mlp_prune_test.cfg")
+    text = open(cfg_src).read()
+    text += "\n[pruning]\nsparse_mode = sparse_pruning\nsparsity = 0.5\n"
+    open(cfg, "w").write(text)
+    from pytorch_kaldi_cgs_tpu.bin.run_test import main
+    assert main([cfg]) == 0
+    pruned = glob.glob(os.path.join(str(tmp / "exp_mlp"), "exp_files",
+                                    "final_*_sparse_pruning.pkl"))
+    assert pruned
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    ck = load_checkpoint(pruned[0])
+    w = np.asarray(ck["model_par"]["params"]["w0"])
+    assert 0.45 < float((w == 0).mean()) < 0.55
+    assert "pruning_w0" in ck["model_par"]["masks"]
+    # the forward chunk cfgs point at the pruned checkpoint
+    import configparser
+    fwd_cfgs = glob.glob(os.path.join(str(tmp / "exp_mlp"), "exp_files",
+                                      "forward_*.cfg"))
+    assert fwd_cfgs
+    c = configparser.ConfigParser()
+    c.read(fwd_cfgs[0])
+    arch_sec = [s for s in c.sections() if "architecture" in s][0]
+    assert c[arch_sec]["arch_pretrain_file"].endswith(
+        "_sparse_pruning.pkl")
 
 
 def test_checkpoint_atomicity_under_crash(tmp_path, monkeypatch):
