@@ -242,9 +242,25 @@ def expand_hmm(lg: FstData, states_per_phone: int,
 
 def build_word_graph(lexicon_words: Dict[str, List[List[int]]],
                      word_ids: Dict[str, int], states_per_phone: int,
-                     arpa_path: Optional[str] = None) -> FstData:
+                     arpa_path: Optional[str] = None,
+                     context: str = "mono") -> FstData:
     """lexicon + (optional) ARPA -> decoder-ready graph: ilabel = pdf+1,
-    olabel = word id."""
+    olabel = word id.
+
+    Native construction is MONOPHONE-only: each phone's pdfs depend on
+    the phone alone. Context-dependent (triphone) graphs require the C
+    transducer + tied-state decision trees the reference delegates to
+    Kaldi's prepare_lang/mkgraph (ref: kaldi_decoding_scripts/utils/
+    prepare_lang.sh, decode_dnn.sh:84); externally-built CD HCLGs DO
+    decode here — drop {HCLG.fst, words.txt, final.mdl} into the graph
+    dir and decode_dnn remaps their transition-id ilabels to pdfs
+    (tested: tests/test_hclg_interop.py)."""
+    if context not in ("mono", "monophone"):
+        raise NotImplementedError(
+            "native graph construction is monophone-only; %r context "
+            "expansion needs tied-state trees — build the HCLG "
+            "externally and decode it via the graph-dir final.mdl "
+            "transition-id remap instead" % context)
     if arpa_path:
         g = grammar_from_arpa(arpa_path, word_ids)
     else:
