@@ -63,14 +63,19 @@ class MLP(AcousticModel):
                 continue
             mask = np.asarray(masks[key])
             bs = self.spec.hcgs_block[0]
-            if bs % 128 or mask.shape[0] % bs or mask.shape[1] % bs:
+            if bs % 128 or mask.shape[0] % bs:
                 import logging
                 logging.getLogger(__name__).warning(
-                    "mlp layer %d: block %d/shape %s not MXU-alignable — "
-                    "falling back to the dense masked path", i, bs, mask.shape)
+                    "mlp layer %d: block %d/out-dim %s not MXU-alignable "
+                    "— falling back to the dense masked path", i, bs,
+                    mask.shape)
+                continue
+            # narrow inputs run faster dense-masked (see recurrent.py)
+            kb_eff = -(-mask.shape[1] // bs)
+            if self.block_sparse_mode.lower() == "auto" and kb_eff < 8:
                 continue
             try:
-                layout = BS.pack_layout(mask, bs)
+                layout = BS.pack_layout(mask, bs, pad_k=True)
             except ValueError as e:
                 import logging
                 logging.getLogger(__name__).warning(
@@ -198,8 +203,11 @@ class MLP(AcousticModel):
         no backward scatter (measured 1.40x over the dense masked
         matmul at 2048-wide/75% vs 0.88x when packing per step)."""
         from ..ops import block_sparse as BS
-        from ..sparsity.quantize import ste_quantize_weight
         layout, sub3, _ = self._bs_layouts[i]
+        if xin.shape[1] < layout.K:   # K-padded layout
+            xin = jnp.concatenate(
+                [xin, jnp.zeros((xin.shape[0], layout.K - xin.shape[1]),
+                                xin.dtype)], axis=1)
         M = xin.shape[0]
         tile_m = 256
         pad = (-M) % tile_m
@@ -207,13 +215,13 @@ class MLP(AcousticModel):
             xin = jnp.concatenate(
                 [xin, jnp.zeros((pad, xin.shape[1]), xin.dtype)], axis=0)
         w3 = params["w%d__bs" % i]
-        if self.spec.quant:
-            w3 = ste_quantize_weight(w3, self.spec.layer_bits(i))
-        w3 = w3 * sub3
         interpret = jax.default_backend() not in ("tpu", "axon")
+        # quantizer + level-2 submask fused into the kernels (VPU work
+        # on streamed blocks instead of whole-weight XLA passes)
+        qb = self.spec.layer_bits(i) if self.spec.quant else 0
         y = BS.block_sparse_matmul_v3(
             xin, w3, None, layout, 1, tile_m=min(tile_m, xin.shape[0]),
-            interpret=interpret)[0]
+            interpret=interpret, sub3=sub3, quant_bits=qb)[0]
         return y[:M]
 
     # ------------------------------------------------------------------

@@ -170,15 +170,23 @@ class _RecurrentBase(AcousticModel):
                 continue
             mask = np.asarray(masks[key])
             bs = self.spec.hcgsx_block[0]
-            if bs % 128 or mask.shape[0] % bs or mask.shape[1] % bs:
+            if bs % 128 or mask.shape[0] % bs:
                 import logging
                 logging.getLogger(__name__).warning(
-                    "%s layer %d: block %d/shape %s not MXU-alignable — "
-                    "falling back to the dense masked path", self.prefix,
+                    "%s layer %d: block %d/out-dim %s not MXU-alignable "
+                    "— falling back to the dense masked path", self.prefix,
                     i, bs, mask.shape)
                 continue
+            # profitability pre-check BEFORE packing: narrow inputs
+            # (e.g. the 143-dim fMLLR front end -> Kb=2 padded) run
+            # faster dense-masked; not a fallback, dense IS optimal
+            kb_eff = -(-mask.shape[1] // bs)
+            if self.block_sparse_mode.lower() == "auto" and kb_eff < 8:
+                continue
             try:
-                layout = BS.pack_layout(mask, bs)
+                # pad_k: non-multiple input widths zero-pad to the next
+                # block boundary (x is padded to match at apply time)
+                layout = BS.pack_layout(mask, bs, pad_k=True)
             except ValueError as e:
                 import logging
                 logging.getLogger(__name__).warning(
@@ -270,11 +278,14 @@ class _RecurrentBase(AcousticModel):
         and quantizer run before the kernel — no dense gather and no
         backward scatter."""
         from ..ops import block_sparse as BS
-        from ..sparsity.quantize import ste_quantize_weight
         layout, sub3, _ = self._bs_layouts[i]
         G = len(self.gates_x)
         T, B, F = x.shape
         xin = maybe_quant_input(x, self.spec).reshape(T * B, F)
+        if F < layout.K:     # K-padded layout (non-multiple input width)
+            xin = jnp.concatenate(
+                [xin, jnp.zeros((xin.shape[0], layout.K - F), xin.dtype)],
+                axis=1)
         tile_m = 256
         M = T * B
         pad = (-M) % tile_m
@@ -283,13 +294,14 @@ class _RecurrentBase(AcousticModel):
                 [xin, jnp.zeros((pad, F), xin.dtype)], axis=0)
         w3 = BS.stack_w3_gates(params["%s%d__bs" % (g, i)]
                                for g in self.gates_x)
-        if self.spec.quant:
-            w3 = ste_quantize_weight(w3, self.spec.layer_bits(i))
-        w3 = w3 * sub3
         interpret = jax.default_backend() not in ("tpu", "axon")
+        # quantizer + level-2 submask fused into the kernels (VPU work
+        # on streamed blocks instead of whole-weight XLA passes)
+        qb = self.spec.layer_bits(i) if self.spec.quant else 0
         ys = BS.block_sparse_matmul_v3(xin, w3, None, layout, G,
                                        tile_m=min(tile_m, xin.shape[0]),
-                                       interpret=interpret)
+                                       interpret=interpret, sub3=sub3,
+                                       quant_bits=qb)
         H = layout.N
         return [ys[g][:M].reshape(T, B, H) for g in range(G)]
 

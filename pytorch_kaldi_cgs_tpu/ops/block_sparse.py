@@ -67,6 +67,11 @@ class BlockLayout:
     t_perm: np.ndarray       # (Kb*C,) int32
     rows: np.ndarray         # (nnz,) out-block row per packed block
     cols: np.ndarray         # (nnz,) in-block col per packed block
+    K_orig: int = 0          # pre-padding K (0 => K, no padding)
+
+    @property
+    def k_true(self) -> int:
+        return self.K_orig or self.K
 
     @property
     def Nb(self) -> int:
@@ -80,10 +85,24 @@ class BlockLayout:
         return self.nnz / (self.Nb * self.Kb)
 
 
-def pack_layout(mask: np.ndarray, bs: int) -> BlockLayout:
+def pack_layout(mask: np.ndarray, bs: int,
+                pad_k: bool = False) -> BlockLayout:
     """Build the BlockLayout from a 0/1 mask (N, K). Requires equal kept
-    count per block-row (guaranteed by HCGS generation)."""
+    count per block-row (guaranteed by HCGS generation).
+
+    pad_k=True zero-pads the mask's column dim to the next multiple of
+    ``bs`` so non-MXU-aligned input widths (e.g. the 143-dim fMLLR
+    front end) can still run the packed kernels: ``layout.K`` becomes
+    the padded width, ``layout.K_orig`` keeps the true one, and callers
+    zero-pad x / dense weights to ``layout.K`` (pack_blocks does the
+    weight side automatically)."""
     N, K = mask.shape
+    K_orig = K
+    if pad_k and K % bs:
+        mask = np.concatenate(
+            [np.asarray(mask), np.zeros((N, bs - K % bs), mask.dtype)],
+            axis=1)
+        K = mask.shape[1]
     if N % bs or K % bs:
         raise ValueError("mask %s not divisible by block %d" % (mask.shape, bs))
     Nb, Kb = N // bs, K // bs
@@ -116,11 +135,19 @@ def pack_layout(mask: np.ndarray, bs: int) -> BlockLayout:
             t_row_idx[c * C + k] = rows[p]
             t_perm[c * C + k] = p
     return BlockLayout(N=N, K=K, bs=bs, R=R, C=C, nnz=nnz, col_idx=col_idx,
-                       t_row_idx=t_row_idx, t_perm=t_perm, rows=rows, cols=cols)
+                       t_row_idx=t_row_idx, t_perm=t_perm, rows=rows,
+                       cols=cols, K_orig=K_orig if K_orig != K else 0)
 
 
 def pack_blocks(w: np.ndarray, layout: BlockLayout) -> np.ndarray:
-    """Gather dense (N,K) into packed (nnz, bs, bs)."""
+    """Gather dense (N,K) into packed (nnz, bs, bs). A K-padded layout
+    (pack_layout(pad_k=True)) accepts the ORIGINAL-width w and zero-pads
+    the tail block columns here."""
+    w = np.asarray(w)
+    if w.shape[1] < layout.K:
+        w = np.concatenate(
+            [w, np.zeros((w.shape[0], layout.K - w.shape[1]), w.dtype)],
+            axis=1)
     bs = layout.bs
     out = np.zeros((layout.nnz, bs, bs), w.dtype)
     for p in range(layout.nnz):
@@ -135,7 +162,7 @@ def unpack_blocks(w_packed: np.ndarray, layout: BlockLayout) -> np.ndarray:
     for p in range(layout.nnz):
         r, c = layout.rows[p], layout.cols[p]
         out[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs] = w_packed[p]
-    return out
+    return out[:, :layout.k_true]
 
 
 def pack_submasks(mask: np.ndarray, layout: BlockLayout) -> np.ndarray:
@@ -618,12 +645,31 @@ def gather_v3(ws, layout: BlockLayout):
     return v3_from_blocks(blocks, layout, len(ws))
 
 
-def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+def _ceil_quant(w, bits: int):
+    """In-kernel ceil-based symmetric weight quantizer — must equal
+    sparsity.quantize.quantize_weight exactly (parity-tested)."""
+    scale = 2.0 ** (bits - 1)
+    w = jnp.clip(w, -1.0, 1.0)
+    return jnp.sign(w) * (jnp.ceil(jnp.abs(w) * scale) / scale)
+
+
+def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool,
+                 fuse_sub: bool = False, qbits: int = 0):
+    """fuse_sub/qbits: apply the level-2 submask multiply and/or the STE
+    ceil quantizer to each streamed weight block INSIDE the kernel (VPU
+    work overlapped with the MXU dot) instead of a separate XLA
+    elementwise pass that re-reads and re-writes the whole packed weight
+    every step (PERF.md: exactly this ate the win at 75% drop)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    def kernel(col_idx_ref, x_ref, w_ref, o_ref, xg_ref, sems):
+    def kernel(col_idx_ref, x_ref, w_ref, *rest):
+        if fuse_sub:
+            sub_ref, o_ref, xg_ref, sems = rest
+        else:
+            o_ref, xg_ref, sems = rest
+            sub_ref = None
         i = pl.program_id(0)
         j = pl.program_id(1)
         # x stays in HBM (ANY); DMA only the R kept blocks into scratch —
@@ -641,28 +687,39 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 x_ref.at[pl.ds(i * TILE_M, TILE_M), pl.ds(ci, bs)],
                 xg_ref.at[:, k * bs:(k + 1) * bs],
                 sems.at[k]).wait()
+        w_eff = w_ref[0]
+        if qbits:
+            w_eff = _ceil_quant(w_eff, qbits)
+        if fuse_sub:
+            w_eff = w_eff * sub_ref[0]
         # one deep dot per gate, each writing its output plane directly
         xg = xg_ref[...]
         for g in range(G):
             acc_g = jax.lax.dot_general(
-                xg, w_ref[0, g * bs:(g + 1) * bs, :],
+                xg, w_eff[g * bs:(g + 1) * bs, :],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)       # (TILE_M, bs)
             o_ref[g, 0] = acc_g.astype(o_ref.dtype)
 
-    def call(x, w3):
+    def call(x, w3, sub3=None):
         M = x.shape[0]
         grid = (M // TILE_M, Nb)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, G * bs, R * bs),
+                         lambda i, j, ci: (j, 0, 0)),
+        ]
+        args = [jnp.asarray(layout.col_idx), x, w3]
+        if fuse_sub:
+            in_specs.append(pl.BlockSpec((1, G * bs, R * bs),
+                                         lambda i, j, ci: (j, 0, 0)))
+            args.append(sub3)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec((1, G * bs, R * bs),
-                                 lambda i, j, ci: (j, 0, 0)),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((G, 1, TILE_M, bs),
                                        lambda i, j, ci: (0, i, 0, j)),
                 scratch_shapes=[pltpu.VMEM((TILE_M, R * bs), jnp.float32),
@@ -678,25 +735,31 @@ def _make_fwd_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 bytes_accessed=(M * layout.K + layout.nnz * G * bs * bs
                                 + M * layout.N * G) * 4,
                 transcendentals=0),
-        )(jnp.asarray(layout.col_idx), x, w3)
+        )(*args)
         return out.reshape(G, M, layout.N)
 
     return call
 
 
-def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool,
+                fuse_sub: bool = False, qbits: int = 0):
     """Row-stationary dx: grid (M/TILE,); the (TILE, K) dx row-block
     accumulates in VMEM while gy blocks and w3 blocks stream through
     double buffers — gy and w3 are each read exactly ONCE per row-block
     (the earlier column-parallel design auto-fetched the whole
     (TILE, Nb*G*bs) gy row per output column: Kb x the traffic, measured
-    0.63x vs dense at 2048/75%)."""
+    0.63x vs dense at 2048/75%). fuse_sub/qbits: see _make_fwd_v3 — dx
+    contracts against the same effective weight the forward used."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    def kernel(col_idx_ref, gy_ref, w_ref, o_ref, acc_ref, gy_buf, w_buf,
-               sems):
+    def kernel(col_idx_ref, gy_ref, w_ref, *rest):
+        if fuse_sub:
+            (sub_ref, o_ref, acc_ref, gy_buf, w_buf, sub_buf, sems) = rest
+        else:
+            o_ref, acc_ref, gy_buf, w_buf, sems = rest
+            sub_ref = sub_buf = None
         i = pl.program_id(0)
 
         def gy_dma(slot, j):
@@ -709,8 +772,14 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
             return pltpu.make_async_copy(
                 w_ref.at[j], w_buf.at[slot], sems.at[2 + slot])
 
+        def sub_dma(slot, j):
+            return pltpu.make_async_copy(
+                sub_ref.at[j], sub_buf.at[slot], sems.at[4 + slot])
+
         gy_dma(0, 0).start()
         w_dma(0, 0).start()
+        if fuse_sub:
+            sub_dma(0, 0).start()
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
         # static unroll over out-blocks (Nb is a layout constant): all
@@ -722,36 +791,53 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
             if j + 1 < Nb:
                 gy_dma(1 - slot, j + 1).start()
                 w_dma(1 - slot, j + 1).start()
+                if fuse_sub:
+                    sub_dma(1 - slot, j + 1).start()
             gy_dma(slot, j).wait()
             w_dma(slot, j).wait()
+            w_eff = w_buf[slot]
+            if qbits:
+                w_eff = _ceil_quant(w_eff, qbits)
+            if fuse_sub:
+                sub_dma(slot, j).wait()
+                w_eff = w_eff * sub_buf[slot]
             part = jax.lax.dot_general(
-                gy_buf[slot], w_buf[slot], (((1,), (0,)), ((), ())),
+                gy_buf[slot], w_eff, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (TILE, R*bs)
             for k in range(R):
                 ci = pl.multiple_of(col_idx_ref[j * R + k] * bs, bs)
                 acc_ref[:, pl.ds(ci, bs)] += part[:, k * bs:(k + 1) * bs]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
-    def call(gy_flat, w3, dtype):
+    def call(gy_flat, w3, dtype, sub3=None):
         M = gy_flat.shape[0]
         grid = (M // TILE_M,)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        args = [jnp.asarray(layout.col_idx), gy_flat, w3]
+        scratch = [
+            pltpu.VMEM((TILE_M, layout.K), jnp.float32),
+            pltpu.VMEM((2, TILE_M, G * bs), gy_flat.dtype),
+            pltpu.VMEM((2, G * bs, R * bs), w3.dtype),
+        ]
+        if fuse_sub:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            args.append(sub3)
+            scratch.append(pltpu.VMEM((2, G * bs, R * bs), sub3.dtype))
+            scratch.append(pltpu.SemaphoreType.DMA((6,)))
+        else:
+            scratch.append(pltpu.SemaphoreType.DMA((4,)))
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((TILE_M, layout.K),
                                        lambda i, ci: (i, 0)),
-                scratch_shapes=[
-                    pltpu.VMEM((TILE_M, layout.K), jnp.float32),
-                    pltpu.VMEM((2, TILE_M, G * bs), gy_flat.dtype),
-                    pltpu.VMEM((2, G * bs, R * bs), w3.dtype),
-                    pltpu.SemaphoreType.DMA((4,)),
-                ],
+                scratch_shapes=scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((M, layout.K), dtype),
             compiler_params=pltpu.CompilerParams(
@@ -762,21 +848,29 @@ def _make_dx_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 bytes_accessed=(M * G * layout.N + layout.nnz * G * bs * bs
                                 + M * layout.K) * 4,
                 transcendentals=0),
-        )(jnp.asarray(layout.col_idx), gy_flat, w3)
+        )(*args)
 
     return call
 
 
-def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
+def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool,
+                fuse_sub: bool = False):
     """dw: grid (Nb, M/T), per-out-block accumulator (G*bs, R*bs) in
     VMEM; only the R kept x column-blocks are DMA'd (the earlier version
     auto-fetched the full (TILE, K) x row per (j, m): Kb/R x the x
-    traffic)."""
+    traffic). fuse_sub: multiply the accumulated dw by the level-2
+    submask block at the final write (effective weight = quant(w)*sub;
+    STE passes the quantizer, the mask multiplies — so dw = acc*sub)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     bs, R, Nb = layout.bs, layout.R, layout.Nb
 
-    def kernel(col_idx_ref, gy_ref, x_ref, o_ref, xg_ref, acc_ref, sems):
+    def kernel(col_idx_ref, gy_ref, x_ref, *rest):
+        if fuse_sub:
+            sub_ref, o_ref, xg_ref, acc_ref, sems = rest
+        else:
+            o_ref, xg_ref, acc_ref, sems = rest
+            sub_ref = None
         j = pl.program_id(0)
         m = pl.program_id(1)
         n_m = pl.num_programs(1)
@@ -812,21 +906,32 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
 
         @pl.when(m == n_m - 1)
         def _():
-            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+            if fuse_sub:
+                o_ref[0] = (acc_ref[...] *
+                            sub_ref[0].astype(jnp.float32)).astype(
+                                o_ref.dtype)
+            else:
+                o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
-    def call(gy_flat, x, dtype):
+    def call(gy_flat, x, dtype, sub3=None):
         M = x.shape[0]
         grid = (Nb, M // TILE_M)
+        in_specs = [
+            pl.BlockSpec((TILE_M, G * bs),
+                         lambda j, m, ci: (m, j)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        args = [jnp.asarray(layout.col_idx), gy_flat, x]
+        if fuse_sub:
+            in_specs.append(pl.BlockSpec((1, G * bs, R * bs),
+                                         lambda j, m, ci: (j, 0, 0)))
+            args.append(sub3)
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec((TILE_M, G * bs),
-                                 lambda j, m, ci: (m, j)),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((1, G * bs, R * bs),
                                        lambda j, m, ci: (j, 0, 0)),
                 scratch_shapes=[pltpu.VMEM((2, TILE_M, R * bs), x.dtype),
@@ -842,22 +947,25 @@ def _make_dw_v3(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
                 bytes_accessed=(M * G * layout.N + M * layout.R * bs
                                 + layout.nnz * G * bs * bs) * 4,
                 transcendentals=0),
-        )(jnp.asarray(layout.col_idx), gy_flat, x)
+        )(*args)
 
     return call
 
 
 @functools.lru_cache(maxsize=64)
-def _build_v3_ops(layout: BlockLayout, G: int, TILE_M: int, interpret: bool):
-    return (_make_fwd_v3(layout, G, TILE_M, interpret),
-            _make_dx_v3(layout, G, TILE_M, interpret),
-            _make_dw_v3(layout, G, TILE_M, interpret))
+def _build_v3_ops(layout: BlockLayout, G: int, TILE_M: int, interpret: bool,
+                  fuse_sub: bool = False, qbits: int = 0):
+    return (_make_fwd_v3(layout, G, TILE_M, interpret, fuse_sub, qbits),
+            _make_dx_v3(layout, G, TILE_M, interpret, fuse_sub, qbits),
+            _make_dw_v3(layout, G, TILE_M, interpret, fuse_sub))
 
 
 def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
                            w3csc=None, layout: BlockLayout = None,
                            n_mats: int = 1, tile_m: int = 256,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           sub3: jnp.ndarray = None,
+                           quant_bits: int = 0) -> jnp.ndarray:
     """Deep-contraction block-sparse matmul: ys[g] = x @ w_g_dense.T.
 
     x: (M, K); w3 from :func:`gather_v3` / :func:`pack_w3`. Returns
@@ -865,6 +973,13 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
     the backward kernels stream w3 directly (threading an unused
     multi-MB operand through the custom_vjp materialized zero
     cotangents for it every step).
+
+    sub3 (level-2 submask in the w3 layout) and quant_bits (STE ceil
+    quantizer) are applied to the streamed weight blocks INSIDE the
+    kernels: effective weight = ceil_quant(w3)*sub3, grads flow to w3
+    through the STE + constant mask. Passing them here replaces the
+    per-step XLA elementwise passes over the full packed weight that
+    PERF.md measured eating the sparse win at 75% drop.
     """
     M = x.shape[0]
     tile_m = min(tile_m, M)
@@ -872,7 +987,9 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
         raise ValueError("M=%d not divisible by tile_m=%d" % (M, tile_m))
     G = n_mats
     bs, Nb = layout.bs, layout.Nb
-    fwd, _, _ = _build_v3_ops(layout, G, tile_m, interpret)
+    fuse_sub = sub3 is not None
+    fwd, _, _ = _build_v3_ops(layout, G, tile_m, interpret, fuse_sub,
+                              quant_bits)
     # backward tile: the dx kernel keeps a (TILE, K) f32 accumulator +
     # output row-block in VMEM (2*TILE*K*4 <= ~8MB) + streaming buffers;
     # bigger tiles amortize the per-j DMA/dot overhead (TILE 256
@@ -884,7 +1001,8 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
         if M % t == 0:
             tile_bwd = t
         t += 8
-    _, dxk, dwk = _build_v3_ops(layout, G, tile_bwd, interpret)
+    _, dxk, dwk = _build_v3_ops(layout, G, tile_bwd, interpret, fuse_sub,
+                                quant_bits)
 
     def _flatten_cotangent(g):
         """(G, M, N) -> (M, Nb*G*bs): block j's columns hold all G
@@ -892,6 +1010,24 @@ def block_sparse_matmul_v3(x: jnp.ndarray, w3: jnp.ndarray,
         kernels stream)."""
         gg = g.reshape(G, M, Nb, bs).transpose(1, 2, 0, 3)
         return gg.reshape(M, Nb * G * bs)
+
+    if fuse_sub:
+        @jax.custom_vjp
+        def _opf(x, w3, sub3):
+            return fwd(x, w3, sub3)
+
+        def _fwd_rule_f(x, w3, sub3):
+            return fwd(x, w3, sub3), (x, w3, sub3)
+
+        def _bwd_rule_f(res, g):
+            x, w3, sub3 = res
+            gg = _flatten_cotangent(g)
+            dx = dxk(gg, w3, x.dtype, sub3)
+            dw3 = dwk(gg, x, w3.dtype, sub3)
+            return dx, dw3, jnp.zeros_like(sub3)
+
+        _opf.defvjp(_fwd_rule_f, _bwd_rule_f)
+        return _opf(x, w3, sub3)
 
     @jax.custom_vjp
     def _op(x, w3):

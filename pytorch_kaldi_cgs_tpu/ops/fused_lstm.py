@@ -91,13 +91,17 @@ def _dact_from_pre(act, x):
 @functools.lru_cache(maxsize=32)
 def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
                interpret: bool, with_init: bool = False,
-               cdt: str = ""):
+               cdt: str = "", stash: bool = False):
     """with_init=True adds (h0, c0) inputs that seed the VMEM carry at
     t==0 instead of zeros — the streaming-inference variant.
     cdt="bf16" runs the recurrent dot with bf16 inputs (U resident in
     VMEM as bf16, h cast per step) and f32 accumulation — the dot is
     weight-streaming-bound at small M, so halving the U bytes per MXU
-    pass is the win; carries and gate math stay f32."""
+    pass is the win; carries and gate math stay f32.
+    stash=True additionally emits the post-activation gates (T, B, 4H)
+    so the backward kernel can skip its per-step u-recompute dot +
+    transcendentals (PERF.md round-4 lever: bwd was 0.86 ms vs 0.31 ms
+    fwd, all recompute)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
@@ -106,10 +110,15 @@ def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
     def kernel(*refs):
         if with_init:
             (g_ref, u_ref, drop_ref, h0_ref, c0_ref,
-             h_out, c_out, h_ref, c_ref) = refs
+             *outs, h_ref, c_ref) = refs
         else:
-            g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref = refs
+            g_ref, u_ref, drop_ref, *outs, h_ref, c_ref = refs
             h0_ref = c0_ref = None
+        if stash:
+            h_out, c_out, a_out = outs
+        else:
+            h_out, c_out = outs
+            a_out = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -136,6 +145,9 @@ def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
         c_ref[...] = c
         h_out[0] = h.astype(h_out.dtype)
         c_out[0] = c.astype(c_out.dtype)
+        if stash:
+            a_out[0] = jnp.concatenate([gf, gi, go, gc],
+                                       axis=1).astype(a_out.dtype)
 
     def call(gates_t, U, drop_mask, h0=None, c0=None):
         in_specs = [
@@ -148,18 +160,25 @@ def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
             in_specs += [pl.BlockSpec((B, H), lambda t: (0, 0)),
                          pl.BlockSpec((B, H), lambda t: (0, 0))]
             args += [h0, c0]
+        out_specs = [
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ]
+        if stash:
+            out_specs.append(pl.BlockSpec((1, B, 4 * H),
+                                          lambda t: (t, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((T, B, 4 * H),
+                                                  jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((B, H), jnp.float32),
                 pltpu.VMEM((B, H), jnp.float32),
@@ -168,7 +187,8 @@ def _build_fwd(T: int, B: int, H: int, act: str, qbits: int,
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * B * H * 4 * H,
                 bytes_accessed=(T * B * 4 * H + 4 * H * H
-                                + 2 * T * B * H) * 4,
+                                + 2 * T * B * H
+                                + (T * B * 4 * H if stash else 0)) * 4,
                 transcendentals=T * B * H * 4),
         )(*args)
 
@@ -315,6 +335,131 @@ def _build_bwd(T: int, B: int, H: int, act: str, qbits: int,
     return call
 
 
+@functools.lru_cache(maxsize=32)
+def _build_bwd_stash(T: int, B: int, H: int, act: str,
+                     interpret: bool, cdt: str = "",
+                     with_init: bool = False):
+    """Reverse-time BPTT kernel over STASHED gate activations: the
+    forward's post-activation gates (T, B, 4H) stream in, so per step
+    this kernel does NO u-recompute dot and NO gate transcendentals —
+    just the elementwise cotangent chain, one actf(c) (for d tanh(c)),
+    and ONE dot (dg @ U -> dh_prev). Replaces the recompute bwd
+    (measured 0.86 ms vs the 0.31 ms fwd at the flagship shape — the
+    gap was all recompute). Costs one extra (T, B, 4H) f32 residual in
+    HBM (~39 MB at T=300, B=16, H=512).
+
+    No qbits parameter: the quantizer only touched the recomputed u,
+    and the dh_prev cotangent passes straight through the quantizer
+    (STE, ref quantized_modules.py:207-244) exactly as before."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+    dactf = _DACTS[act]
+    in_dt = jnp.bfloat16 if cdt == "bf16" else jnp.float32
+
+    def kernel(*refs):
+        if with_init:
+            (a_ref, u_ref, drop_ref, c_ref_seq, cprev_ref, dh_in_ref,
+             dhT_ref, dcT_ref, dg_out, dh0_out, dc0_out,
+             dh_ref, dc_ref) = refs
+        else:
+            (a_ref, u_ref, drop_ref, c_ref_seq, cprev_ref, dh_in_ref,
+             dg_out, dh_ref, dc_ref) = refs
+            dhT_ref = dcT_ref = dh0_out = dc0_out = None
+        t = pl.program_id(0)          # 0..T-1, processing step T-1-t
+
+        @pl.when(t == 0)
+        def _():
+            if with_init:
+                dh_ref[...] = dhT_ref[...]
+                dc_ref[...] = dcT_ref[...]
+            else:
+                dh_ref[...] = jnp.zeros_like(dh_ref)
+                dc_ref[...] = jnp.zeros_like(dc_ref)
+
+        a = a_ref[0].astype(jnp.float32)
+        gf = a[:, :H]
+        gi = a[:, H:2 * H]
+        go = a[:, 2 * H:3 * H]
+        gc = a[:, 3 * H:]
+        cc = c_ref_seq[0].astype(jnp.float32)
+        c_prev = cprev_ref[0].astype(jnp.float32)
+        drop = drop_ref[...]
+        ac = actf(cc)
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dc = dc_ref[...] + dh * go * dactf(ac)
+        dgo = dh * ac * go * (1.0 - go)
+        dgf = dc * c_prev * gf * (1.0 - gf)
+        dgi = dc * gc * drop * gi * (1.0 - gi)
+        dgc = dc * gi * drop * dactf(gc)
+        dg = jnp.concatenate([dgf, dgi, dgo, dgc], axis=1)   # (B, 4H)
+        dh_prev = jax.lax.dot_general(dg.astype(in_dt), u_ref[...],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dc_ref[...] = dc * gf
+        dg_out[0] = dg.astype(dg_out.dtype)
+        if with_init:
+            @pl.when(t == T - 1)
+            def _():
+                dh0_out[...] = dh_prev.astype(dh0_out.dtype)
+                dc0_out[...] = (dc * gf).astype(dc0_out.dtype)
+
+    def call(acts_t, U, drop_mask, c_seq, c_prev_seq, dhs,
+             dhT=None, dcT=None):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        in_specs = [
+            pl.BlockSpec((1, B, 4 * H), rev),
+            pl.BlockSpec((4 * H, H), lambda t: (0, 0)),
+            pl.BlockSpec((B, H), lambda t: (0, 0)),
+            pl.BlockSpec((1, B, H), rev),
+            pl.BlockSpec((1, B, H), rev),
+            pl.BlockSpec((1, B, H), rev),
+        ]
+        args = [acts_t, U, drop_mask, c_seq, c_prev_seq, dhs]
+        out_specs = pl.BlockSpec((1, B, 4 * H), rev)
+        out_shape = jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32)
+        if with_init:
+            in_specs += [pl.BlockSpec((B, H), lambda t: (0, 0)),
+                         pl.BlockSpec((B, H), lambda t: (0, 0))]
+            args += [dhT, dcT]
+            out_specs = [out_specs,
+                         pl.BlockSpec((B, H), lambda t: (0, 0)),
+                         pl.BlockSpec((B, H), lambda t: (0, 0))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((B, H), jnp.float32),
+                         jax.ShapeDtypeStruct((B, H), jnp.float32)]
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),
+                pltpu.VMEM((B, H), jnp.float32),
+            ],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * B * H * 4 * H,
+                bytes_accessed=(2 * T * B * 4 * H + 4 * H * H
+                                + 4 * T * B * H) * 4,
+                transcendentals=T * B * H),
+        )(*args)
+
+    return call
+
+
+def _bwd_stash_enabled() -> bool:
+    """The stashed-activation backward is the default; set
+    PKC_LSTM_BWD_RECOMPUTE=1 to fall back to the recompute backward
+    (trades ~(T, B, 4H) f32 of residual HBM for per-step recompute —
+    only worth it when HBM is the binding constraint)."""
+    import os
+    return os.environ.get("PKC_LSTM_BWD_RECOMPUTE", "") != "1"
+
+
 def fits_vmem(B: int, H: int) -> bool:
     """Conservative VMEM budget check (16MB/core, leave headroom).
     dU does not live in the bwd kernel (accumulated outside over the
@@ -344,8 +489,14 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     cdt = "bf16" if compute_dtype in ("bf16", "bfloat16") else ""
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32),
                             (B, H))
+    stash = _bwd_stash_enabled()
     fwd = _build_fwd(T, B, H, act, quant_bits, interpret, cdt=cdt)
-    bwd = _build_bwd(T, B, H, act, quant_bits, interpret, cdt=cdt)
+    if stash:
+        fwd_s = _build_fwd(T, B, H, act, quant_bits, interpret, cdt=cdt,
+                           stash=True)
+        bwd = _build_bwd_stash(T, B, H, act, interpret, cdt=cdt)
+    else:
+        bwd = _build_bwd(T, B, H, act, quant_bits, interpret, cdt=cdt)
     u_dt = jnp.bfloat16 if cdt else jnp.float32
 
     @jax.custom_vjp
@@ -354,16 +505,23 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         return hs
 
     def _fwd_rule(gates_t, U):
+        if stash:
+            hs, cs, acts = fwd_s(gates_t, U.astype(u_dt), drop)
+            return hs, (None, U, hs, cs, acts)
         hs, cs = fwd(gates_t, U.astype(u_dt), drop)
-        return hs, (gates_t, U, hs, cs)
+        return hs, (gates_t, U, hs, cs, None)
 
     def _bwd_rule(res, dhs):
-        gates_t, U, hs, cs = res
+        gates_t, U, hs, cs, acts = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
-        dg = bwd(gates_t, U.astype(u_dt), drop, h_prev, c_prev,
-                 dhs.astype(jnp.float32))
+        if stash:
+            dg = bwd(acts, U.astype(u_dt), drop, cs, c_prev,
+                     dhs.astype(jnp.float32))
+        else:
+            dg = bwd(gates_t, U.astype(u_dt), drop, h_prev, c_prev,
+                     dhs.astype(jnp.float32))
         # dU over the unrolled (T*B) batch: one K=T*B matmul instead of
         # T MXU-starved K=B dots inside the kernel. Quantization must be
         # PER-STEP (vmap) to match the fwd kernel's _q_input over each
@@ -374,7 +532,8 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
                                  hq.astype(u_dt),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
@@ -398,10 +557,17 @@ def lstm_scan_fused_seeded(gates_t: jnp.ndarray, U: jnp.ndarray,
     H = G4 // 4
     cdt = "bf16" if compute_dtype in ("bf16", "bfloat16") else ""
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    stash = _bwd_stash_enabled()
     fwd = _build_fwd(T, B, H, act, quant_bits, interpret, with_init=True,
                      cdt=cdt)
-    bwd = _build_bwd(T, B, H, act, quant_bits, interpret, cdt=cdt,
-                     with_init=True)
+    if stash:
+        fwd_s = _build_fwd(T, B, H, act, quant_bits, interpret,
+                           with_init=True, cdt=cdt, stash=True)
+        bwd = _build_bwd_stash(T, B, H, act, interpret, cdt=cdt,
+                               with_init=True)
+    else:
+        bwd = _build_bwd(T, B, H, act, quant_bits, interpret, cdt=cdt,
+                         with_init=True)
     u_dt = jnp.bfloat16 if cdt else jnp.float32
 
     # NB drop is a real argument, NOT a closure capture: under
@@ -414,26 +580,38 @@ def lstm_scan_fused_seeded(gates_t: jnp.ndarray, U: jnp.ndarray,
         return hs, (hs[-1], cs[-1])
 
     def _fwd_rule(gates_t, U, h0, c0, drop):
+        if stash:
+            hs, cs, acts = fwd_s(gates_t, U.astype(u_dt), drop, h0, c0)
+            return ((hs, (hs[-1], cs[-1])),
+                    (None, U, h0, c0, drop, hs, cs, acts))
         hs, cs = fwd(gates_t, U.astype(u_dt), drop, h0, c0)
-        return (hs, (hs[-1], cs[-1])), (gates_t, U, h0, c0, drop, hs, cs)
+        return ((hs, (hs[-1], cs[-1])),
+                (gates_t, U, h0, c0, drop, hs, cs, None))
 
     def _bwd_rule(res, cot):
-        gates_t, U, h0, c0, drop, hs, cs = res
+        gates_t, U, h0, c0, drop, hs, cs, acts = res
         dhs, (dhT, dcT) = cot
         h_prev = jnp.concatenate([h0[None].astype(jnp.float32), hs[:-1]],
                                  axis=0)
         c_prev = jnp.concatenate([c0[None].astype(jnp.float32), cs[:-1]],
                                  axis=0)
-        dg, dh0, dc0 = bwd(gates_t, U.astype(u_dt), drop, h_prev, c_prev,
-                           dhs.astype(jnp.float32),
-                           dhT.astype(jnp.float32),
-                           dcT.astype(jnp.float32))
+        if stash:
+            dg, dh0, dc0 = bwd(acts, U.astype(u_dt), drop, cs, c_prev,
+                               dhs.astype(jnp.float32),
+                               dhT.astype(jnp.float32),
+                               dcT.astype(jnp.float32))
+        else:
+            dg, dh0, dc0 = bwd(gates_t, U.astype(u_dt), drop, h_prev,
+                               c_prev, dhs.astype(jnp.float32),
+                               dhT.astype(jnp.float32),
+                               dcT.astype(jnp.float32))
         hq = _q_vmap(h_prev, quant_bits).reshape(T * B, H)
         dU = jax.lax.dot_general(dg.reshape(T * B, 4 * H).astype(u_dt),
                                  hq.astype(u_dt),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        return (dg.astype(gates_t.dtype), dU.astype(U.dtype),
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return (dgate, dU.astype(U.dtype),
                 dh0.astype(h0.dtype), dc0.astype(c0.dtype),
                 jnp.zeros_like(drop))
 
@@ -503,7 +681,7 @@ def scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx):
 @functools.lru_cache(maxsize=16)
 def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
                       Nb: int, R: int, bs: int, G: int, col_idx: tuple,
-                      interpret: bool):
+                      interpret: bool, stash: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
@@ -511,7 +689,12 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
     def _recurrent_u(h, u_ref):
         return sparse_recurrent_u(h, u_ref, Nb, R, bs, G, H, col_idx)
 
-    def kernel(g_ref, u_ref, drop_ref, h_out, c_out, h_ref, c_ref):
+    def kernel(g_ref, u_ref, drop_ref, *outs):
+        if stash:
+            h_out, c_out, a_out, h_ref, c_ref = outs
+        else:
+            h_out, c_out, h_ref, c_ref = outs
+            a_out = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -532,8 +715,24 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
         c_ref[...] = cc
         h_out[0] = h.astype(h_out.dtype)
         c_out[0] = cc.astype(c_out.dtype)
+        if stash:
+            a_out[0] = jnp.concatenate([gf, gi, go, gc],
+                                       axis=1).astype(a_out.dtype)
 
     def call(gates_t, w3g, drop_mask):
+        out_specs = [
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ]
+        if stash:
+            out_specs.append(pl.BlockSpec((1, B, 4 * H),
+                                          lambda t: (t, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((T, B, 4 * H),
+                                                  jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(T,),
@@ -542,14 +741,8 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
                 pl.BlockSpec((Nb, G * bs, R * bs), lambda t: (0, 0, 0)),
                 pl.BlockSpec((B, H), lambda t: (0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-                jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((B, H), jnp.float32),
                 pltpu.VMEM((B, H), jnp.float32),
@@ -558,9 +751,81 @@ def _build_fwd_sparse(T: int, B: int, H: int, act: str, qbits: int,
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * B * bs * bs * Nb * R * G,
                 bytes_accessed=(T * B * 4 * H + Nb * G * R * bs * bs
-                                + 2 * T * B * H) * 4,
+                                + 2 * T * B * H
+                                + (T * B * 4 * H if stash else 0)) * 4,
                 transcendentals=T * B * H * 4),
         )(gates_t, w3g, drop_mask)
+
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _build_bwd_sparse_stash(T: int, B: int, H: int, act: str,
+                            Nb: int, R: int, bs: int, G: int,
+                            col_idx: tuple, interpret: bool):
+    """Reverse BPTT over STASHED gate activations for the block-sparse
+    recurrence: no per-step u-recompute (which cost a whole sparse
+    gather+dot pass) and no gate transcendentals — just the cotangent
+    chain, one actf(c), and the sparse dh dot + static scatter-adds.
+    dU handled outside (v3 dw kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    actf = _ACTS[act]
+    dactf = _DACTS[act]
+
+    def kernel(a_ref, u_ref, drop_ref, c_ref_seq, cprev_ref, dh_in_ref,
+               dg_out, dh_ref, dc_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+            dc_ref[...] = jnp.zeros_like(dc_ref)
+
+        a = a_ref[0].astype(jnp.float32)
+        gf = a[:, :H]
+        gi = a[:, H:2 * H]
+        go = a[:, 2 * H:3 * H]
+        gc = a[:, 3 * H:]
+        cc = c_ref_seq[0].astype(jnp.float32)
+        c_prev = cprev_ref[0].astype(jnp.float32)
+        drop = drop_ref[...]
+        ac = actf(cc)
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dc = dc_ref[...] + dh * go * dactf(ac)
+        dgo = dh * ac * go * (1.0 - go)
+        dgf = dc * c_prev * gf * (1.0 - gf)
+        dgi = dc * gc * drop * gi * (1.0 - gi)
+        dgc = dc * gi * drop * dactf(gc)
+        dg = jnp.concatenate([dgf, dgi, dgo, dgc], axis=1)   # (B, 4H)
+        dpart = sparse_dh_parts(dg, u_ref, Nb, R, bs, G, H, col_idx)
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        scatter_add_cols(dh_ref, dpart, Nb, R, bs, col_idx)
+        dc_ref[...] = dc * gf
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(acts_t, w3g, drop_mask, c_seq, c_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 4 * H), rev),
+                pl.BlockSpec((Nb, G * bs, R * bs), lambda t: (0, 0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 4 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),
+                pltpu.VMEM((B, H), jnp.float32),
+            ],
+            interpret=interpret,
+        )(acts_t, w3g, drop_mask, c_seq, c_prev_seq, dhs)
 
     return call
 
@@ -694,10 +959,17 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
     mode = sparse_scan_fits_vmem(B, H, layout, G)
     if mode == "bf16":
         w3g = w3g.astype(jnp.bfloat16)
+    stash = _bwd_stash_enabled()
     fwd = _build_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
                             col_idx, interpret)
-    bwd = _build_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
-                            col_idx, interpret)
+    if stash:
+        fwd_s = _build_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
+                                  col_idx, interpret, stash=True)
+        bwd = _build_bwd_sparse_stash(T, B, H, act, Nb, R, bs, G,
+                                      col_idx, interpret)
+    else:
+        bwd = _build_bwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
+                                col_idx, interpret)
 
     @jax.custom_vjp
     def _op(gates_t, w3g):
@@ -705,20 +977,27 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         return hs
 
     def _fwd_rule(gates_t, w3g):
+        if stash:
+            hs, cs, acts = fwd_s(gates_t, w3g, drop)
+            return hs, (None, w3g, hs, cs, acts)
         hs, cs = fwd(gates_t, w3g, drop)
-        return hs, (gates_t, w3g, hs, cs)
+        return hs, (gates_t, w3g, hs, cs, None)
 
     def _bwd_rule(res, dhs):
-        gates_t, w3g, hs, cs = res
+        gates_t, w3g, hs, cs, acts = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
         c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
-        dg = bwd(gates_t, w3g, drop, h_prev, c_prev,
-                 dhs.astype(jnp.float32))
+        if stash:
+            dg = bwd(acts, w3g, drop, cs, c_prev, dhs.astype(jnp.float32))
+        else:
+            dg = bwd(gates_t, w3g, drop, h_prev, c_prev,
+                     dhs.astype(jnp.float32))
         M = T * B
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dw3g = sparse_dU(dg.reshape(M, G * H), hq, layout, G, interpret)
-        return dg.astype(gates_t.dtype), dw3g.astype(w3g.dtype)
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return dgate, dw3g.astype(w3g.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, w3g)

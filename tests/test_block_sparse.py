@@ -179,3 +179,106 @@ def test_v3_forward_and_grads(layout_and_w):
         np.testing.assert_allclose(np.array(dws[g]),
                                    np.array(dw_r)[g] * mask,
                                    rtol=1e-4, atol=1e-4)
+
+
+# --- K-padded layouts (non-MXU-aligned input widths) -----------------------
+
+def _equal_count_mask(N, K, bs, keep_per_row, seed=0):
+    """Synthetic level-1 mask with exactly keep_per_row kept blocks per
+    block-row over a ceil(K/bs) column grid, cropped to K columns."""
+    rng = np.random.RandomState(seed)
+    Nb, Kb = N // bs, -(-K // bs)
+    m = np.zeros((N, Kb * bs), np.float32)
+    for j in range(Nb):
+        cols = rng.choice(Kb, keep_per_row, replace=False)
+        for c in cols:
+            m[j * bs:(j + 1) * bs, c * bs:(c + 1) * bs] = 1
+    return m[:, :K]
+
+
+def test_pad_k_layout_matmul_matches_dense():
+    """pack_layout(pad_k=True) on a non-multiple K: the v3 kernel over
+    column-padded x equals the dense masked matmul on true-width x
+    (VERDICT r3 weak item 2: the (512, 143) x-proj fallback)."""
+    N, K, bs = 32, 42, BS          # 42 = 5*8 + 2 -> pads to 48
+    mask = _equal_count_mask(N, K, bs, 3, seed=5)
+    layout = B.pack_layout(mask, bs, pad_k=True)
+    assert layout.K == 48 and layout.k_true == 42
+    rng = np.random.RandomState(6)
+    w = (rng.randn(N, K) * mask).astype(np.float32)
+    wp = B.pack_blocks(w, layout)          # pads w's tail block itself
+    x = rng.randn(16, K).astype(np.float32)
+    xp = np.concatenate([x, np.zeros((16, layout.K - K), np.float32)], 1)
+    y = B.block_sparse_matmul(jnp.asarray(xp), jnp.asarray(wp), layout,
+                              tile_m=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), x @ w.T, rtol=1e-4,
+                               atol=1e-4)
+    # round-trip crops back to the true width
+    np.testing.assert_allclose(B.unpack_blocks(wp, layout), w)
+
+
+def test_narrow_input_no_alignment_warning(caplog):
+    """The flagship's (512, 143) layer-0 x-proj must NOT warn: narrow
+    inputs are a deliberate dense-is-optimal decision, not a fallback
+    (BENCH_r03 tail item)."""
+    import logging
+    from pytorch_kaldi_cgs_tpu.models import LSTM
+    opts = {
+        "to_do": "train", "arch_name": "l", "out_folder": "/tmp",
+        "lstm_lay": "512", "lstm_drop": "0.0",
+        "lstm_use_batchnorm": "False", "lstm_use_laynorm": "False",
+        "lstm_use_laynorm_inp": "False", "lstm_use_batchnorm_inp": "False",
+        "lstm_act": "tanh", "lstm_orthinit": "False", "lstm_bidir": "False",
+        "lstm_hcgs": "True", "hcgsx_block": "128,4",
+        "hcgsx_sparse": "25,62.5", "hcgsh_block": "128,4",
+        "hcgsh_sparse": "25,62.5", "lstm_quant": "False",
+        "param_quant": "8", "lstm_quant_inp": "False", "inp_quant": "16",
+        "lstm_prune": "False", "lstm_prune_perc": "50",
+        "skip_regularization": "True",
+    }
+    lstm = LSTM(opts, 143)
+    variables = lstm.init(0)
+    with caplog.at_level(logging.WARNING):
+        lstm.prepare_block_sparse(variables)
+    assert not [r for r in caplog.records
+                if "not MXU-alignable" in r.message]
+
+
+def test_v3_fused_submask_quant_matches_unfused():
+    """sub3/quant_bits fused into the v3 kernels == the XLA-side
+    ste_quantize_weight + submask-multiply path: forward, dx and dw
+    (STE: dw passes the quantizer, multiplies the mask)."""
+    from pytorch_kaldi_cgs_tpu.sparsity.quantize import ste_quantize_weight
+    mask = hcgs_mask(32, 64, [BS], [50], seed=7)
+    layout = B.pack_layout(mask, BS)
+    rng = np.random.RandomState(8)
+    sub = (rng.rand(32, 64) > 0.5).astype(np.float32) * mask
+    w = (rng.randn(32, 64) * 0.3 * mask).astype(np.float32)
+    w3 = jnp.asarray(B.pack_w3(w, layout))
+    sub3 = jnp.asarray(B.pack_w3(sub, layout))
+    x = jnp.asarray(rng.randn(16, 64).astype(np.float32))
+    qb = 8
+
+    def ref(x, w3):
+        wm = ste_quantize_weight(w3, qb) * sub3
+        return B.block_sparse_matmul_v3(x, wm, None, layout, 1,
+                                        tile_m=8, interpret=True)
+
+    def fused(x, w3):
+        return B.block_sparse_matmul_v3(x, w3, None, layout, 1,
+                                        tile_m=8, interpret=True,
+                                        sub3=sub3, quant_bits=qb)
+
+    y_ref = ref(x, w3)
+    y = fused(x, w3)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    tgt = jnp.asarray(rng.randn(*y_ref.shape).astype(np.float32))
+    gr = jax.grad(lambda x, w: jnp.sum((ref(x, w) - tgt) ** 2),
+                  argnums=(0, 1))(x, w3)
+    gf = jax.grad(lambda x, w: jnp.sum((fused(x, w) - tgt) ** 2),
+                  argnums=(0, 1))(x, w3)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-4)
