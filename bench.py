@@ -171,9 +171,12 @@ def main():
         v, o, _ = out[0], out[1], out[2]
         return (v, o, cur[2], cur[3], jax.random.fold_in(key0, i))
 
+    # repeats=5: cross-run spread on the shared chip measured 2.24-2.83
+    # ms for identical code; more windows -> the min is a better clean
+    # estimate, at ~seconds of extra wall time
     dt = chained_step_time(
         train_step, (variables, opt_state, x, labels, key0),
-        chain=chain, readback=lambda out: out[2], n_lo=2, n_hi=12, repeats=2)
+        chain=chain, readback=lambda out: out[2], n_lo=2, n_hi=12, repeats=5)
 
     frames_per_s = frames / dt
     tflops = FLOPS_PER_FRAME * frames_per_s / 1e12
