@@ -143,17 +143,23 @@ def measure_block_sparse_speedup(drop=87.5, width=2048, M=2560):
 
     # FLOP floor: the dense op cannot run faster than 2x the chip's
     # physical peak; a measurement below it is a degenerate differencing
-    # artifact (contention burst), not a real time. Retry once, else
-    # report nothing rather than nonsense (a driver run once printed
-    # block_sparse_speedup=0.0 from exactly this failure mode).
+    # artifact (contention burst), not a real time. INTERLEAVE the two
+    # variants and min each independently — sequential A/B on the shared
+    # chip swung the reported ratio 3.1x-10x across driver runs for
+    # identical code (PERF.md measurement-honesty note).
     import jax
     peak = PEAK_BF16_TFLOPS.get(jax.devices()[0].device_kind, 197.0)
     dense_floor = (2 * G * M * width * width) / (2 * peak * 1e12)
-    for _ in range(2):
+    td_best = tv_best = None
+    for _ in range(3):
         td = device_loop_time(dense_body, x, n_lo=3, n_hi=18)
         tv = device_loop_time(v3_body, x, n_lo=3, n_hi=18)
-        if td > dense_floor and tv > dense_floor / 8 and 0.1 < td / tv < 30:
-            return td / tv
+        if td > dense_floor:
+            td_best = td if td_best is None else min(td_best, td)
+        if tv > dense_floor / 8:
+            tv_best = tv if tv_best is None else min(tv_best, tv)
+    if td_best and tv_best and 0.1 < td_best / tv_best < 30:
+        return td_best / tv_best
     return None
 
 

@@ -451,13 +451,30 @@ def _build_bwd_stash(T: int, B: int, H: int, act: str,
     return call
 
 
-def _bwd_stash_enabled() -> bool:
-    """The stashed-activation backward is the default; set
-    PKC_LSTM_BWD_RECOMPUTE=1 to fall back to the recompute backward
-    (trades ~(T, B, 4H) f32 of residual HBM for per-step recompute —
-    only worth it when HBM is the binding constraint)."""
+#: Which cells default to the stashed-activation backward. Interleaved
+#: min-of-N A/B on the shared chip (see PERF.md round-4 'measurement
+#: honesty' note — sequential A/Bs swung +-40% in BOTH directions):
+#: LSTM ties-or-wins (4H gates, 5 transcendental sets recomputed), GRU
+#: wins ~1.2-1.6x (TWO recompute dots), mGRU is a wash, liGRU/RNN lose
+#: (their recompute is one cheap dot; the extra stash streams cost more
+#: than they save at B=16).
+_STASH_DEFAULT = {"lstm": True, "gru": True, "mgru": False,
+                  "ligru": False, "rnn": False}
+
+
+def _bwd_stash_enabled(cell: str = "lstm") -> bool:
+    """Per-cell default (see _STASH_DEFAULT), overridable:
+    PKC_LSTM_BWD_RECOMPUTE=1 forces the recompute backward everywhere
+    (when residual HBM is the binding constraint);
+    PKC_BWD_STASH_CELLS=lstm,gru,... forces stash for exactly the
+    listed cells."""
     import os
-    return os.environ.get("PKC_LSTM_BWD_RECOMPUTE", "") != "1"
+    if os.environ.get("PKC_LSTM_BWD_RECOMPUTE", "") == "1":
+        return False
+    forced = os.environ.get("PKC_BWD_STASH_CELLS", "")
+    if forced:
+        return cell in [c.strip() for c in forced.split(",")]
+    return _STASH_DEFAULT.get(cell, False)
 
 
 def fits_vmem(B: int, H: int) -> bool:
@@ -489,7 +506,7 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     cdt = "bf16" if compute_dtype in ("bf16", "bfloat16") else ""
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32),
                             (B, H))
-    stash = _bwd_stash_enabled()
+    stash = _bwd_stash_enabled("lstm")
     fwd = _build_fwd(T, B, H, act, quant_bits, interpret, cdt=cdt)
     if stash:
         fwd_s = _build_fwd(T, B, H, act, quant_bits, interpret, cdt=cdt,
@@ -557,7 +574,7 @@ def lstm_scan_fused_seeded(gates_t: jnp.ndarray, U: jnp.ndarray,
     H = G4 // 4
     cdt = "bf16" if compute_dtype in ("bf16", "bfloat16") else ""
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
-    stash = _bwd_stash_enabled()
+    stash = _bwd_stash_enabled("lstm")
     fwd = _build_fwd(T, B, H, act, quant_bits, interpret, with_init=True,
                      cdt=cdt)
     if stash:
@@ -959,7 +976,7 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
     mode = sparse_scan_fits_vmem(B, H, layout, G)
     if mode == "bf16":
         w3g = w3g.astype(jnp.bfloat16)
-    stash = _bwd_stash_enabled()
+    stash = _bwd_stash_enabled("lstm")
     fwd = _build_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
                             col_idx, interpret)
     if stash:

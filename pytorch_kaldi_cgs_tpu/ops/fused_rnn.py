@@ -20,25 +20,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fused_lstm import _ACTS, _dact_from_pre, _q_input, _q_vmap
+from .fused_lstm import (_ACTS, _DACTS, _bwd_stash_enabled,
+                         _dact_from_pre, _q_input, _q_vmap)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                     interpret: bool, with_init: bool = False):
+                     interpret: bool, with_init: bool = False,
+                     stash: bool = False):
     """with_init=True adds an h0 input that seeds the VMEM carry at
     t==0 instead of zeros — the streaming-inference variant (same
-    contract as fused_lstm._build_fwd)."""
+    contract as fused_lstm._build_fwd). stash=True additionally emits
+    the post-activation pair [actf(ah), z] (T, B, 2H) so the backward
+    kernel skips its u-recompute dot + transcendentals (same lever as
+    fused_lstm's stashed BPTT; see PERF.md round-4)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
     def kernel(*refs):
         if with_init:
-            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, h0_ref, *outs, h_ref = refs
         else:
-            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, *outs, h_ref = refs
             h0_ref = None
+        if stash:
+            h_out, a_out = outs
+        else:
+            (h_out,) = outs
+            a_out = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -52,11 +62,14 @@ def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         g = g_ref[0].astype(jnp.float32) + u         # (B, 2H): [h, z]
-        hc = actf(g[:, :H]) * drop_ref[...]
+        a = actf(g[:, :H])
+        hc = a * drop_ref[...]
         z = jax.nn.sigmoid(g[:, H:])
         h = z * h_ref[...] + (1.0 - z) * hc
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
+        if stash:
+            a_out[0] = jnp.concatenate([a, z], axis=1).astype(a_out.dtype)
 
     def call(gates_t, U, drop_mask, h0=None):
         in_specs = [
@@ -68,20 +81,85 @@ def _build_ligru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         if with_init:
             in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
             args.append(h0)
-        return pl.pallas_call(
+        out_specs = [pl.BlockSpec((1, B, H), lambda t: (t, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+        if stash:
+            out_specs.append(pl.BlockSpec((1, B, 2 * H),
+                                          lambda t: (t, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((T, B, 2 * H),
+                                                  jnp.float32))
+        res = pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            out_specs=out_specs if stash else out_specs[0],
+            out_shape=out_shape if stash else out_shape[0],
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * B * H * 2 * H,
                 bytes_accessed=(T * B * 2 * H + 2 * H * H
-                                + T * B * H) * 4,
+                                + T * B * H
+                                + (T * B * 2 * H if stash else 0)) * 4,
                 transcendentals=T * B * H * 2),
         )(*args)
+        return res
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ligru_bwd_stash(T: int, B: int, H: int, act: str,
+                           interpret: bool):
+    """Reverse liGRU BPTT over STASHED [actf(ah), z]: no u-recompute
+    dot, no gate transcendentals — the cotangent chain + ONE dot
+    (dg @ U -> dh contribution)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    dactf = _DACTS[act]
+
+    def kernel(a_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        aa = a_ref[0].astype(jnp.float32)
+        a = aa[:, :H]
+        z = aa[:, H:]
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        hc = a * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - hc)
+        daz = dz * z * (1.0 - z)
+        dac = dh * (1.0 - z) * drop_ref[...] * dactf(a)
+        dg = jnp.concatenate([dac, daz], axis=1)      # (B, 2H)
+        dh_prev = dh * z + jax.lax.dot_general(
+            dg, u_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(acts_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 2 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(acts_t, U, drop_mask, h_prev_seq, dhs)
 
     return call
 
@@ -152,27 +230,40 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     T, B, G2 = gates_t.shape
     H = G2 // 2
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    stash = _bwd_stash_enabled("ligru")
     fwd = _build_ligru_fwd(T, B, H, act, quant_bits, interpret)
-    bwd = _build_ligru_bwd(T, B, H, act, quant_bits, interpret)
+    if stash:
+        fwd_s = _build_ligru_fwd(T, B, H, act, quant_bits, interpret,
+                                 stash=True)
+        bwd = _build_ligru_bwd_stash(T, B, H, act, interpret)
+    else:
+        bwd = _build_ligru_bwd(T, B, H, act, quant_bits, interpret)
 
     @jax.custom_vjp
     def _op(gates_t, U):
         return fwd(gates_t, U, drop)
 
     def _fwd_rule(gates_t, U):
+        if stash:
+            hs, acts = fwd_s(gates_t, U, drop)
+            return hs, (None, U, hs, acts)
         hs = fwd(gates_t, U, drop)
-        return hs, (gates_t, U, hs)
+        return hs, (gates_t, U, hs, None)
 
     def _bwd_rule(res, dhs):
-        gates_t, U, hs = res
+        gates_t, U, hs, acts = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
-        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+        if stash:
+            dg = bwd(acts, U, drop, h_prev, dhs.astype(jnp.float32))
+        else:
+            dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dU = jnp.einsum("mg,mh->gh", dg.reshape(M, 2 * H), hq,
                         preferred_element_type=jnp.float32)
-        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
@@ -207,17 +298,23 @@ def ligru_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 @functools.lru_cache(maxsize=32)
 def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                   interpret: bool, with_init: bool = False):
+                   interpret: bool, with_init: bool = False,
+                   stash: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
     def kernel(*refs):
         if with_init:
-            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, h0_ref, *outs, h_ref = refs
         else:
-            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, *outs, h_ref = refs
             h0_ref = None
+        if stash:
+            h_out, a_out = outs
+        else:
+            (h_out,) = outs
+            a_out = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -239,10 +336,14 @@ def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         ah = g[:, :H] + jax.lax.dot_general(
             sq, u[:H], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        hc = actf(ah) * drop_ref[...]
+        a = actf(ah)
+        hc = a * drop_ref[...]
         h = z * h_prev + (1.0 - z) * hc
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
+        if stash:
+            a_out[0] = jnp.concatenate([a, z, r],
+                                       axis=1).astype(a_out.dtype)
 
     def call(gates_t, U, drop_mask, h0=None):
         in_specs = [
@@ -254,20 +355,91 @@ def _build_gru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         if with_init:
             in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
             args.append(h0)
+        out_specs = [pl.BlockSpec((1, B, H), lambda t: (t, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+        if stash:
+            out_specs.append(pl.BlockSpec((1, B, 3 * H),
+                                          lambda t: (t, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((T, B, 3 * H),
+                                                  jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            out_specs=out_specs if stash else out_specs[0],
+            out_shape=out_shape if stash else out_shape[0],
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * B * H * 3 * H,
                 bytes_accessed=(T * B * 3 * H + 3 * H * H
-                                + T * B * H) * 4,
+                                + T * B * H
+                                + (T * B * 3 * H if stash else 0)) * 4,
                 transcendentals=T * B * H * 3),
         )(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_gru_bwd_stash(T: int, B: int, H: int, act: str,
+                         interpret: bool):
+    """Reverse GRU BPTT over STASHED [actf(ah), z, r]: skips the two
+    u-recompute dots and all three gate transcendentals; keeps the two
+    backprop dots (ds via dah @ Uh, and dzr @ Uzr)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    dactf = _DACTS[act]
+
+    def kernel(a_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        aa = a_ref[0].astype(jnp.float32)
+        a = aa[:, :H]
+        z = aa[:, H:2 * H]
+        r = aa[:, 2 * H:]
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = u_ref[...]
+        hc = a * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dz = dh * (h_prev - hc)
+        dah = dh * (1.0 - z) * drop_ref[...] * dactf(a)
+        # ds = d(r*h_prev) through the STE-identity input quantizer
+        ds = jax.lax.dot_general(dah, u[:H], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dr = ds * h_prev
+        daz = dz * z * (1.0 - z)
+        dar = dr * r * (1.0 - r)
+        dzr = jnp.concatenate([daz, dar], axis=1)     # (B, 2H)
+        dh_prev = dh * z + ds * r + jax.lax.dot_general(
+            dzr, u[H:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = jnp.concatenate([dah, dzr], axis=1).astype(dg_out.dtype)
+
+    def call(acts_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 3 * H), rev),
+                pl.BlockSpec((3 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 3 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(acts_t, U, drop_mask, h_prev_seq, dhs)
 
     return call
 
@@ -347,30 +519,44 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     T, B, G3 = gates_t.shape
     H = G3 // 3
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    stash = _bwd_stash_enabled("gru")
     fwd = _build_gru_fwd(T, B, H, act, quant_bits, interpret)
-    bwd = _build_gru_bwd(T, B, H, act, quant_bits, interpret)
+    if stash:
+        fwd_s = _build_gru_fwd(T, B, H, act, quant_bits, interpret,
+                               stash=True)
+        bwd = _build_gru_bwd_stash(T, B, H, act, interpret)
+    else:
+        bwd = _build_gru_bwd(T, B, H, act, quant_bits, interpret)
 
     @jax.custom_vjp
     def _op(gates_t, U):
         return fwd(gates_t, U, drop)
 
     def _fwd_rule(gates_t, U):
+        if stash:
+            hs, acts = fwd_s(gates_t, U, drop)
+            return hs, (None, U, hs, acts)
         hs = fwd(gates_t, U, drop)
-        return hs, (gates_t, U, hs)
+        return hs, (gates_t, U, hs, None)
 
     def _bwd_rule(res, dhs):
-        gates_t, U, hs = res
+        gates_t, U, hs, acts = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
-        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
         hp = h_prev.reshape(M, H)
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
-        # recompute r over the unrolled batch for dUh's input (r*h)
-        ar = gates_t.reshape(M, 3 * H)[:, 2 * H:] + jnp.einsum(
-            "mh,gh->mg", hq, U[2 * H:],
-            preferred_element_type=jnp.float32)
-        s = jax.nn.sigmoid(ar) * hp
+        if stash:
+            dg = bwd(acts, U, drop, h_prev, dhs.astype(jnp.float32))
+            # dUh's input (r*h) from the STASHED r — no recompute matmul
+            s = acts.reshape(M, 3 * H)[:, 2 * H:] * hp
+        else:
+            dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+            # recompute r over the unrolled batch for dUh's input (r*h)
+            ar = gates_t.reshape(M, 3 * H)[:, 2 * H:] + jnp.einsum(
+                "mh,gh->mg", hq, U[2 * H:],
+                preferred_element_type=jnp.float32)
+            s = jax.nn.sigmoid(ar) * hp
         sq = _q_vmap(s.reshape(T, B, H), quant_bits).reshape(M, H)
         dgm = dg.reshape(M, 3 * H)
         dUh = jnp.einsum("mg,mh->gh", dgm[:, :H], sq,
@@ -378,7 +564,8 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dUzr = jnp.einsum("mg,mh->gh", dgm[:, H:], hq,
                           preferred_element_type=jnp.float32)
         dU = jnp.concatenate([dUh, dUzr], axis=0)
-        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
@@ -580,17 +767,23 @@ def gru_cudnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 @functools.lru_cache(maxsize=32)
 def _build_mgru_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                    interpret: bool, with_init: bool = False):
+                    interpret: bool, with_init: bool = False,
+                    stash: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
     def kernel(*refs):
         if with_init:
-            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, h0_ref, *outs, h_ref = refs
         else:
-            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, *outs, h_ref = refs
             h0_ref = None
+        if stash:
+            h_out, a_out = outs
+        else:
+            (h_out,) = outs
+            a_out = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -611,10 +804,13 @@ def _build_mgru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         ah = g[:, :H] + jax.lax.dot_general(
             sq, u[:H], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        hc = actf(ah) * drop_ref[...]
+        a = actf(ah)
+        hc = a * drop_ref[...]
         h = z * h_prev + (1.0 - z) * hc
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
+        if stash:
+            a_out[0] = jnp.concatenate([a, z], axis=1).astype(a_out.dtype)
 
     def call(gates_t, U, drop_mask, h0=None):
         in_specs = [
@@ -626,15 +822,80 @@ def _build_mgru_fwd(T: int, B: int, H: int, act: str, qbits: int,
         if with_init:
             in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
             args.append(h0)
+        out_specs = [pl.BlockSpec((1, B, H), lambda t: (t, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+        if stash:
+            out_specs.append(pl.BlockSpec((1, B, 2 * H),
+                                          lambda t: (t, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((T, B, 2 * H),
+                                                  jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            out_specs=out_specs if stash else out_specs[0],
+            out_shape=out_shape if stash else out_shape[0],
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
             interpret=interpret,
         )(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_mgru_bwd_stash(T: int, B: int, H: int, act: str,
+                          interpret: bool):
+    """Reverse minimalGRU BPTT over STASHED [actf(ah), z]: no
+    u-recompute dots, no transcendentals."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    dactf = _DACTS[act]
+
+    def kernel(a_ref, u_ref, drop_ref, hprev_ref, dh_in_ref, dg_out,
+               dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        aa = a_ref[0].astype(jnp.float32)
+        a = aa[:, :H]
+        z = aa[:, H:]
+        h_prev = hprev_ref[0].astype(jnp.float32)
+        u = u_ref[...]
+        hc = a * drop_ref[...]
+
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dah = dh * (1.0 - z) * drop_ref[...] * dactf(a)
+        ds = jax.lax.dot_general(dah, u[:H], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # z feeds both the mix and the gated recurrent input s = z*h
+        dz = dh * (h_prev - hc) + ds * h_prev
+        daz = dz * z * (1.0 - z)
+        dh_prev = dh * z + ds * z + jax.lax.dot_general(
+            daz, u[H:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh_ref[...] = dh_prev
+        dg_out[0] = jnp.concatenate([dah, daz], axis=1).astype(dg_out.dtype)
+
+    def call(acts_t, U, drop_mask, h_prev_seq, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, 2 * H), rev),
+                pl.BlockSpec((2 * H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, 2 * H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, 2 * H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(acts_t, U, drop_mask, h_prev_seq, dhs)
 
     return call
 
@@ -710,28 +971,41 @@ def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     T, B, G2 = gates_t.shape
     H = G2 // 2
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    stash = _bwd_stash_enabled("mgru")
     fwd = _build_mgru_fwd(T, B, H, act, quant_bits, interpret)
-    bwd = _build_mgru_bwd(T, B, H, act, quant_bits, interpret)
+    if stash:
+        fwd_s = _build_mgru_fwd(T, B, H, act, quant_bits, interpret,
+                                stash=True)
+        bwd = _build_mgru_bwd_stash(T, B, H, act, interpret)
+    else:
+        bwd = _build_mgru_bwd(T, B, H, act, quant_bits, interpret)
 
     @jax.custom_vjp
     def _op(gates_t, U):
         return fwd(gates_t, U, drop)
 
     def _fwd_rule(gates_t, U):
+        if stash:
+            hs, acts = fwd_s(gates_t, U, drop)
+            return hs, (None, U, hs, acts)
         hs = fwd(gates_t, U, drop)
-        return hs, (gates_t, U, hs)
+        return hs, (gates_t, U, hs, None)
 
     def _bwd_rule(res, dhs):
-        gates_t, U, hs = res
+        gates_t, U, hs, acts = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
-        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
         hp = h_prev.reshape(M, H)
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
-        az = gates_t.reshape(M, 2 * H)[:, H:] + jnp.einsum(
-            "mh,gh->mg", hq, U[H:], preferred_element_type=jnp.float32)
-        s = jax.nn.sigmoid(az) * hp
+        if stash:
+            dg = bwd(acts, U, drop, h_prev, dhs.astype(jnp.float32))
+            s = acts.reshape(M, 2 * H)[:, H:] * hp   # stashed z
+        else:
+            dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+            az = gates_t.reshape(M, 2 * H)[:, H:] + jnp.einsum(
+                "mh,gh->mg", hq, U[H:], preferred_element_type=jnp.float32)
+            s = jax.nn.sigmoid(az) * hp
         sq = _q_vmap(s.reshape(T, B, H), quant_bits).reshape(M, H)
         dgm = dg.reshape(M, 2 * H)
         dUh = jnp.einsum("mg,mh->gh", dgm[:, :H], sq,
@@ -739,7 +1013,8 @@ def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dUz = jnp.einsum("mg,mh->gh", dgm[:, H:], hq,
                          preferred_element_type=jnp.float32)
         dU = jnp.concatenate([dUh, dUz], axis=0)
-        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
@@ -767,17 +1042,23 @@ def mgru_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
 
 @functools.lru_cache(maxsize=32)
 def _build_rnn_fwd(T: int, B: int, H: int, act: str, qbits: int,
-                   interpret: bool, with_init: bool = False):
+                   interpret: bool, with_init: bool = False,
+                   stash: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     actf = _ACTS[act]
 
     def kernel(*refs):
         if with_init:
-            g_ref, u_ref, drop_ref, h0_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, h0_ref, *outs, h_ref = refs
         else:
-            g_ref, u_ref, drop_ref, h_out, h_ref = refs
+            g_ref, u_ref, drop_ref, *outs, h_ref = refs
             h0_ref = None
+        if stash:
+            h_out, a_out = outs
+        else:
+            (h_out,) = outs
+            a_out = None
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -790,9 +1071,13 @@ def _build_rnn_fwd(T: int, B: int, H: int, act: str, qbits: int,
         hq = _q_input(h_ref[...], qbits)
         u = jax.lax.dot_general(hq, u_ref[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        h = actf(g_ref[0].astype(jnp.float32) + u) * drop_ref[...]
+        a = actf(g_ref[0].astype(jnp.float32) + u)
+        h = a * drop_ref[...]
         h_ref[...] = h
         h_out[0] = h.astype(h_out.dtype)
+        if stash:
+            # post-activation PRE-drop (h/drop divides by dropped zeros)
+            a_out[0] = a.astype(a_out.dtype)
 
     def call(gates_t, U, drop_mask, h0=None):
         in_specs = [
@@ -804,15 +1089,66 @@ def _build_rnn_fwd(T: int, B: int, H: int, act: str, qbits: int,
         if with_init:
             in_specs.append(pl.BlockSpec((B, H), lambda t: (0, 0)))
             args.append(h0)
+        out_specs = [pl.BlockSpec((1, B, H), lambda t: (t, 0, 0))]
+        out_shape = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+        if stash:
+            out_specs.append(pl.BlockSpec((1, B, H),
+                                          lambda t: (t, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((T, B, H),
+                                                  jnp.float32))
         return pl.pallas_call(
             kernel,
             grid=(T,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            out_specs=out_specs if stash else out_specs[0],
+            out_shape=out_shape if stash else out_shape[0],
             scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
             interpret=interpret,
         )(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_rnn_bwd_stash(T: int, B: int, H: int, act: str,
+                         interpret: bool):
+    """Reverse vanilla-RNN BPTT over the STASHED post-activation a:
+    dg = dh*drop*act'(a) — no recompute dot, no transcendental."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    dactf = _DACTS[act]
+
+    def kernel(a_ref, u_ref, drop_ref, dh_in_ref, dg_out, dh_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dh_ref[...] = jnp.zeros_like(dh_ref)
+
+        a = a_ref[0].astype(jnp.float32)
+        dh = dh_ref[...] + dh_in_ref[0].astype(jnp.float32)
+        dg = dh * drop_ref[...] * dactf(a)
+        dh_ref[...] = jax.lax.dot_general(
+            dg, u_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg_out[0] = dg.astype(dg_out.dtype)
+
+    def call(acts_t, U, drop_mask, dhs):
+        rev = lambda t: (T - 1 - t, 0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, B, H), rev),
+                pl.BlockSpec((H, H), lambda t: (0, 0)),
+                pl.BlockSpec((B, H), lambda t: (0, 0)),
+                pl.BlockSpec((1, B, H), rev),
+            ],
+            out_specs=pl.BlockSpec((1, B, H), rev),
+            out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+            interpret=interpret,
+        )(acts_t, U, drop_mask, dhs)
 
     return call
 
@@ -872,27 +1208,40 @@ def rnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     """hs = fused vanilla-RNN recurrence; gates_t: (T, B, H); U: (H, H)."""
     T, B, H = gates_t.shape
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    stash = _bwd_stash_enabled("rnn")
     fwd = _build_rnn_fwd(T, B, H, act, quant_bits, interpret)
-    bwd = _build_rnn_bwd(T, B, H, act, quant_bits, interpret)
+    if stash:
+        fwd_s = _build_rnn_fwd(T, B, H, act, quant_bits, interpret,
+                               stash=True)
+        bwd = _build_rnn_bwd_stash(T, B, H, act, interpret)
+    else:
+        bwd = _build_rnn_bwd(T, B, H, act, quant_bits, interpret)
 
     @jax.custom_vjp
     def _op(gates_t, U):
         return fwd(gates_t, U, drop)
 
     def _fwd_rule(gates_t, U):
+        if stash:
+            hs, acts = fwd_s(gates_t, U, drop)
+            return hs, (None, U, hs, acts)
         hs = fwd(gates_t, U, drop)
-        return hs, (gates_t, U, hs)
+        return hs, (gates_t, U, hs, None)
 
     def _bwd_rule(res, dhs):
-        gates_t, U, hs = res
+        gates_t, U, hs, acts = res
         zeros = jnp.zeros((1, B, H), jnp.float32)
         h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
-        dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
+        if stash:
+            dg = bwd(acts, U, drop, dhs.astype(jnp.float32))
+        else:
+            dg = bwd(gates_t, U, drop, h_prev, dhs.astype(jnp.float32))
         M = T * B
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dU = jnp.einsum("mg,mh->gh", dg.reshape(M, H), hq,
                         preferred_element_type=jnp.float32)
-        return dg.astype(gates_t.dtype), dU.astype(U.dtype)
+        dgate = dg if stash else dg.astype(gates_t.dtype)
+        return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
     return _op(gates_t, U)
