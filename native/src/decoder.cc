@@ -1,11 +1,13 @@
 #include "decoder.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <limits>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -310,6 +312,35 @@ int64_t pkc_decode(const PkcFst* fst, const float* loglikes, int64_t T,
                    int32_t* out_labels, int64_t max_out) {
   return pkc_decode_ctm(fst, loglikes, T, S, beam, max_active, acwt,
                         out_labels, nullptr, max_out);
+}
+
+void pkc_decode_batch(const PkcFst* fst, const float* loglikes,
+                      const int64_t* offsets, int64_t N, int64_t S,
+                      double beam, int64_t max_active, double acwt,
+                      int32_t* out_labels, int32_t* out_frames,
+                      int64_t out_stride, int64_t* out_lens,
+                      int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > N) n_threads = N;
+  std::atomic<int64_t> next_idx(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next_idx.fetch_add(1);
+      if (i >= N) return;
+      const int64_t T = offsets[i + 1] - offsets[i];
+      out_lens[i] = pkc_decode_ctm(
+          fst, loglikes + offsets[i] * S, T, S, beam, max_active, acwt,
+          out_labels + i * out_stride,
+          out_frames ? out_frames + i * out_stride : nullptr, out_stride);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve((size_t)n_threads);
+  for (int64_t k = 0; k < n_threads; ++k) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

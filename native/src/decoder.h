@@ -51,6 +51,25 @@ int64_t pkc_decode_ctm(const PkcFst* fst, const float* loglikes, int64_t T,
                        int32_t* out_labels, int32_t* out_frames,
                        int64_t max_out);
 
+// Decode N utterances concurrently on a native thread pool — ONE
+// library call per batch instead of one per utterance, so many tiny
+// utterances stop paying Python/ctypes/GIL round-trips (the reference
+// fans out latgen-faster-mapped PROCESSES per split; this is the
+// shared-memory equivalent).
+//   loglikes: concatenated frames, (offsets[N]) x S row-major
+//   offsets:  N+1 cumulative frame offsets (utterance i spans
+//             [offsets[i], offsets[i+1]))
+//   out_labels / out_frames: per-utterance slots of out_stride entries
+//             at i*out_stride (out_frames may be null)
+//   out_lens[i]: labels written for utterance i, or -1 on failure
+//   n_threads: 0 = hardware_concurrency
+void pkc_decode_batch(const PkcFst* fst, const float* loglikes,
+                      const int64_t* offsets, int64_t N, int64_t S,
+                      double beam, int64_t max_active, double acwt,
+                      int32_t* out_labels, int32_t* out_frames,
+                      int64_t out_stride, int64_t* out_lens,
+                      int64_t n_threads);
+
 // ---------------------------------------------------------------------------
 // Lattice generation (the `latgen` in latgen-faster-mapped).
 //

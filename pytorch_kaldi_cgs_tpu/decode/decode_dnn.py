@@ -31,11 +31,21 @@ from .viterbi import PhoneLoopHMM, batched_viterbi_decode
 def _decode_one_ark_native(ark_path: str, fst, acwt: float, beam: float,
                            max_active: int) -> Dict[str, List[int]]:
     """Decode one ark with the native C++ WFST beam decoder (olabels are
-    phone+1 on the phone-loop graph)."""
+    phone+1 on the phone-loop graph). The whole ark goes through ONE
+    pkc_decode_batch call on a native thread pool — per-utterance
+    ctypes round-trips were the host-side bottleneck on many tiny
+    utterances (ROADMAP item 5)."""
     from .. import native as N
-    hyps: Dict[str, List[int]] = {}
+    keys, mats = [], []
     for key, mat in N.read_mat_ark_native(ark_path):
-        labs = fst.decode(mat, beam=beam, max_active=max_active, acwt=acwt)
+        keys.append(key)
+        mats.append(mat)
+    hyps: Dict[str, List[int]] = {}
+    for key, labs in zip(keys, fst.decode_batch(
+            mats, beam=beam, max_active=max_active, acwt=acwt)):
+        if labs is None:
+            raise RuntimeError("decode failed for %s (beam too tight?)"
+                               % key)
         hyps[key] = [l - 1 for l in labs]
     return hyps
 
@@ -192,17 +202,27 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
             def work(a):
                 fst = N.NativeFst.from_data(fst_data)  # per-worker CSR
                 out: Dict[str, List] = {}
-                for key, mat in N.read_mat_ark_native(a):
-                    if old_lm is not None:
-                        from .rescore import lm_rescore_lattice
+                if old_lm is not None:
+                    from .rescore import lm_rescore_lattice
+                    for key, mat in N.read_mat_ark_native(a):
                         lat = fst.decode_lattice(
                             mat, beam=beam, max_active=max_active,
                             acwt=acwt)
                         ids, _ = lm_rescore_lattice(lat, id2word, old_lm,
                                                     new_lm)
-                    else:
-                        ids = fst.decode(mat, beam=beam,
-                                         max_active=max_active, acwt=acwt)
+                        out[key] = [id2word.get(i, "<unk>") for i in ids]
+                    return out
+                # whole ark in one batched native call (thread pool
+                # inside the library; see _decode_one_ark_native)
+                keys, mats = [], []
+                for key, mat in N.read_mat_ark_native(a):
+                    keys.append(key)
+                    mats.append(mat)
+                for key, ids in zip(keys, fst.decode_batch(
+                        mats, beam=beam, max_active=max_active,
+                        acwt=acwt)):
+                    if ids is None:
+                        raise RuntimeError("decode failed for %s" % key)
                     out[key] = [id2word.get(i, "<unk>") for i in ids]
                 return out
             for part in ex.map(work, arks):

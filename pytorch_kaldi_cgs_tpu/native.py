@@ -81,6 +81,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_double, ctypes.c_int64,
                                    ctypes.c_double, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
+    lib.pkc_decode_batch.restype = None
+    lib.pkc_decode_batch.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_double,
+                                     ctypes.c_int64, ctypes.c_double,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int64, ctypes.c_void_p,
+                                     ctypes.c_int64]
     lib.pkc_decode_lattice.restype = ctypes.c_void_p
     lib.pkc_decode_lattice.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int64, ctypes.c_int64,
@@ -274,6 +282,48 @@ class NativeFst:
             raise RuntimeError("decode failed (beam too tight?)")
         return [(int(out[i]), float(frames[i]) * frame_shift)
                 for i in range(n)]
+
+    def decode_batch(self, loglikes_list, beam: float = 13.0,
+                     max_active: int = 7000, acwt: float = 0.2,
+                     n_threads: int = 0, with_frames: bool = False):
+        """Decode MANY utterances in ONE library call on a native
+        std::thread pool (ref decode_dnn.sh fans out latgen processes
+        per split; this is the shared-memory equivalent). Removes the
+        per-utterance Python/ctypes/GIL round-trip that dominates on
+        many tiny utterances. Returns a list of label lists (or
+        (labels, frames) pairs when with_frames), None entries for
+        failed utterances."""
+        N = len(loglikes_list)
+        if N == 0:
+            return []
+        S = int(loglikes_list[0].shape[1])
+        lls = [np.ascontiguousarray(ll, np.float32) for ll in loglikes_list]
+        offsets = np.zeros(N + 1, np.int64)
+        for i, ll in enumerate(lls):
+            if ll.shape[1] != S:
+                raise ValueError("inconsistent posterior dims in batch")
+            offsets[i + 1] = offsets[i] + ll.shape[0]
+        cat = np.concatenate(lls, axis=0)
+        stride = int(4 * max(ll.shape[0] for ll in lls) + 16)
+        out = np.zeros((N, stride), np.int32)
+        frames = np.zeros((N, stride), np.int32) if with_frames else None
+        lens = np.zeros(N, np.int64)
+        self._lib.pkc_decode_batch(
+            self._fst, cat.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p), N, S, beam,
+            max_active, acwt, out.ctypes.data_as(ctypes.c_void_p),
+            frames.ctypes.data_as(ctypes.c_void_p) if with_frames else None,
+            stride, lens.ctypes.data_as(ctypes.c_void_p), n_threads)
+        res = []
+        for i in range(N):
+            n = int(lens[i])
+            if n < 0:
+                res.append(None)
+            elif with_frames:
+                res.append((out[i, :n].tolist(), frames[i, :n].tolist()))
+            else:
+                res.append(out[i, :n].tolist())
+        return res
 
     def decode_lattice(self, loglikes: np.ndarray, beam: float = 13.0,
                        lat_beam: float = 8.0, max_active: int = 7000,

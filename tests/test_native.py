@@ -266,3 +266,29 @@ def test_lattice_align_phones(tmp_path):
     assert abs(rows[1][1] - 0.10) < 1e-9 and abs(rows[1][2] - 0.10) < 1e-9
     # durations tile the utterance exactly
     assert abs(sum(r[2] for r in rows) - 0.20) < 1e-9
+
+
+def test_decode_batch_matches_single(tmp_path):
+    """pkc_decode_batch (one native call, thread pool) produces exactly
+    the per-utterance pkc_decode results, for mixed-length utterances
+    and with CTM frames."""
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 4, 2)
+    fst = N.NativeFst(fst_path)
+    rng = np.random.RandomState(11)
+    mats = [np.log(rng.dirichlet(np.ones(8) * 0.3,
+                                 size=rng.randint(5, 40))).astype(np.float32)
+            for _ in range(17)]
+    singles = [fst.decode(m, beam=50.0, max_active=0, acwt=1.0)
+               for m in mats]
+    batched = fst.decode_batch(mats, beam=50.0, max_active=0, acwt=1.0,
+                               n_threads=4)
+    assert batched == singles
+    # with frame alignment
+    ctm_single = [fst.decode_ctm(m, beam=50.0, max_active=0, acwt=1.0)
+                  for m in mats]
+    ctm_batch = fst.decode_batch(mats, beam=50.0, max_active=0, acwt=1.0,
+                                 n_threads=3, with_frames=True)
+    for (labs, frames), pairs in zip(ctm_batch, ctm_single):
+        assert labs == [p[0] for p in pairs]
+        assert [f * 0.01 for f in frames] == pytest.approx(
+            [p[1] for p in pairs])
