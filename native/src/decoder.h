@@ -87,6 +87,16 @@ PkcLattice* pkc_decode_lattice(const PkcFst* fst, const float* loglikes,
                                int64_t T, int64_t S, double beam,
                                double lat_beam, int64_t max_active,
                                double acwt);
+
+// Batched lattice generation on a native thread pool (same contract as
+// pkc_decode_batch; the rescoring pipeline consumes one lattice per
+// utterance). out_lats[i] = lattice or null on failure; caller frees
+// each with pkc_lattice_free.
+void pkc_decode_lattice_batch(const PkcFst* fst, const float* loglikes,
+                              const int64_t* offsets, int64_t N,
+                              int64_t S, double beam, double lat_beam,
+                              int64_t max_active, double acwt,
+                              PkcLattice** out_lats, int64_t n_threads);
 void pkc_lattice_free(PkcLattice* lat);
 int64_t pkc_lattice_num_nodes(const PkcLattice* lat);
 int64_t pkc_lattice_num_arcs(const PkcLattice* lat);

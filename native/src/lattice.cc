@@ -6,9 +6,11 @@
 #include "decoder.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -601,3 +603,30 @@ int64_t pkc_lattice_best_path(const PkcLattice* lat, double ac_scale,
 }
 
 }  // extern "C"
+
+void pkc_decode_lattice_batch(const PkcFst* fst, const float* loglikes,
+                              const int64_t* offsets, int64_t N,
+                              int64_t S, double beam, double lat_beam,
+                              int64_t max_active, double acwt,
+                              PkcLattice** out_lats, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > N) n_threads = N;
+  std::atomic<int64_t> next_idx(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next_idx.fetch_add(1);
+      if (i >= N) return;
+      const int64_t T = offsets[i + 1] - offsets[i];
+      out_lats[i] = pkc_decode_lattice(fst, loglikes + offsets[i] * S, T,
+                                       S, beam, lat_beam, max_active,
+                                       acwt);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve((size_t)n_threads);
+  for (int64_t k = 0; k < n_threads; ++k) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}

@@ -203,11 +203,19 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
                 fst = N.NativeFst.from_data(fst_data)  # per-worker CSR
                 out: Dict[str, List] = {}
                 if old_lm is not None:
+                    # batched lattice generation (one native call); the
+                    # rescore DP itself stays host-side per utterance
                     from .rescore import lm_rescore_lattice
+                    keys, mats = [], []
                     for key, mat in N.read_mat_ark_native(a):
-                        lat = fst.decode_lattice(
-                            mat, beam=beam, max_active=max_active,
-                            acwt=acwt)
+                        keys.append(key)
+                        mats.append(mat)
+                    lats = fst.decode_lattice_batch(
+                        mats, beam=beam, max_active=max_active, acwt=acwt)
+                    for key, lat in zip(keys, lats):
+                        if lat is None:
+                            raise RuntimeError("lattice decode failed "
+                                               "for %s" % key)
                         ids, _ = lm_rescore_lattice(lat, id2word, old_lm,
                                                     new_lm)
                         out[key] = [id2word.get(i, "<unk>") for i in ids]

@@ -94,6 +94,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_double, ctypes.c_double,
                                        ctypes.c_int64, ctypes.c_double]
+    lib.pkc_decode_lattice_batch.restype = None
+    lib.pkc_decode_lattice_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64]
     lib.pkc_lattice_free.argtypes = [ctypes.c_void_p]
     lib.pkc_lattice_num_nodes.restype = ctypes.c_int64
     lib.pkc_lattice_num_nodes.argtypes = [ctypes.c_void_p]
@@ -338,6 +344,31 @@ class NativeFst:
         if not ptr:
             raise RuntimeError("lattice decode failed (beam too tight?)")
         return Lattice(self._lib, ptr)
+
+    def decode_lattice_batch(self, loglikes_list, beam: float = 13.0,
+                             lat_beam: float = 8.0, max_active: int = 7000,
+                             acwt: float = 0.2, n_threads: int = 0):
+        """Batched lattice generation: one library call, native thread
+        pool (the rescoring pipeline consumes one lattice/utterance).
+        Returns a list of Lattice (None for failed utterances)."""
+        N = len(loglikes_list)
+        if N == 0:
+            return []
+        S = int(loglikes_list[0].shape[1])
+        lls = [np.ascontiguousarray(ll, np.float32) for ll in loglikes_list]
+        offsets = np.zeros(N + 1, np.int64)
+        for i, ll in enumerate(lls):
+            if ll.shape[1] != S:
+                raise ValueError("inconsistent posterior dims in batch")
+            offsets[i + 1] = offsets[i] + ll.shape[0]
+        cat = np.concatenate(lls, axis=0)
+        ptrs = (ctypes.c_void_p * N)()
+        self._lib.pkc_decode_lattice_batch(
+            self._fst, cat.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p), N, S, beam,
+            lat_beam, max_active, acwt, ptrs, n_threads)
+        return [Lattice(self._lib, ptrs[i]) if ptrs[i] else None
+                for i in range(N)]
 
     def __del__(self):
         try:

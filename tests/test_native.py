@@ -292,3 +292,24 @@ def test_decode_batch_matches_single(tmp_path):
         assert labs == [p[0] for p in pairs]
         assert [f * 0.01 for f in frames] == pytest.approx(
             [p[1] for p in pairs])
+
+
+def test_decode_lattice_batch_matches_single(tmp_path):
+    """Batched lattice generation == per-utterance lattices (node/arc
+    counts + best paths at two acoustic scales)."""
+    fst_path = N.build_phone_loop_fst(str(tmp_path / "g.txt"), 4, 2)
+    fst = N.NativeFst(fst_path)
+    rng = np.random.RandomState(12)
+    mats = [np.log(rng.dirichlet(np.ones(8) * 0.3,
+                                 size=rng.randint(8, 30))).astype(np.float32)
+            for _ in range(9)]
+    singles = [fst.decode_lattice(m, beam=50.0, lat_beam=10.0,
+                                  max_active=0, acwt=1.0) for m in mats]
+    batched = fst.decode_lattice_batch(mats, beam=50.0, lat_beam=10.0,
+                                       max_active=0, acwt=1.0, n_threads=3)
+    for ls, lb in zip(singles, batched):
+        assert lb is not None
+        assert lb.num_nodes == ls.num_nodes
+        assert lb.num_arcs == ls.num_arcs
+        for sc in (0.5, 1.0):
+            assert lb.best_path(sc) == ls.best_path(sc)
