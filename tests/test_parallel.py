@@ -175,3 +175,44 @@ def test_multihost_forward_ark_tagging(tmp_path, monkeypatch):
     tags = {a.rsplit("_", 3)[-3] for a in arks}
     assert any("_h0_" in a for a in arks), arks
     assert any("_h1_" in a for a in arks), arks
+
+
+def test_production_dp_tp_decode_matches_single_device(tmp_path):
+    """ROADMAP r4 item 4: the decode SIDE of the multichip path — the
+    full train -> forward -> decode pipeline under [exp] multi_gpu +
+    model_parallel=2 must reproduce the single-device per-utterance
+    hypotheses and WER (forward posteriors are the same arithmetic with
+    a different reduction placement; the host-side decode must then be
+    byte-identical)."""
+    import glob
+    import os
+
+    from pytorch_kaldi_cgs_tpu.data import synth
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    from pytorch_kaldi_cgs_tpu.utils import make_synth_cfg
+
+    root = str(tmp_path / "data")
+    synth.generate(root, synth.SynthSpec(
+        num_utts=14, num_phones=4, states_per_phone=2, feat_dim=8,
+        min_len=24, max_len=48, noise=0.4, seed=11))
+
+    wers = {}
+    hyps = {}
+    for name, mg, mp in (("single", False, 1), ("dptp", True, 2)):
+        out = str(tmp_path / ("exp_" + name))
+        cfg = make_synth_cfg(str(tmp_path / (name + ".cfg")), root, out,
+                             model="MLP", hidden=32, n_epochs=1,
+                             n_chunks=1, batch_size=64, lr=0.04, cw=1,
+                             multi_gpu=mg, model_parallel=mp)
+        results = run_exp(cfg)
+        wer_key = [k for k in results if k.startswith("wer_")]
+        assert wer_key, "decoding did not run (%s)" % name
+        wers[name] = results[wer_key[0]]
+        hyp_files = sorted(glob.glob(os.path.join(
+            out, "decode_*", "score_*", "hyp.txt")))
+        assert hyp_files, "no per-utterance hypotheses written (%s)" % name
+        hyps[name] = [(os.path.basename(os.path.dirname(f)), open(f).read())
+                      for f in hyp_files]
+
+    assert wers["dptp"] == wers["single"]
+    assert hyps["dptp"] == hyps["single"]
