@@ -188,12 +188,49 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
             use_native = True
         elif engine == "native":
             raise RuntimeError("native decoder requested but unavailable")
-    if word_spec is not None and not use_native:
+    if word_spec is not None and not use_native and engine != "tpu-wfst":
         raise RuntimeError("word-level decoding requires the native "
-                           "decoder (make -C native)")
+                           "decoder (make -C native) or engine='tpu-wfst'")
 
     hyps: Dict[str, List[int]] = {}
-    if word_spec is not None:
+    if engine == "tpu-wfst":
+        # exact dense on-device Viterbi over the full graph: the
+        # serving path that keeps posteriors on the accelerator
+        # (decode/wfst_tpu.py; rescoring stays on the native engine)
+        if old_lm is not None:
+            raise ValueError("LM rescoring needs lattices: use the "
+                             "native engine")
+        from .. import native as N
+        from .wfst_tpu import TpuWfstDecoder
+        if word_spec is not None:
+            from .openfst import invert_symbols, read_symbol_table
+            id2word = invert_symbols(read_symbol_table(word_spec[1]))
+            dec = TpuWfstDecoder(_load_word_fst_data(graph_dir, word_spec))
+        else:
+            from .openfst import read_fst_text
+            hmm = PhoneLoopHMM.from_graph_dir(graph_dir)
+            fst_txt = os.path.join(graph_dir, "phone_loop.fst.txt")
+            if not os.path.exists(fst_txt):
+                N.build_phone_loop_fst(fst_txt, hmm.num_phones,
+                                       hmm.states_per_phone)
+            id2word = None
+            dec = TpuWfstDecoder(read_fst_text(fst_txt))
+        from ..data.kaldi_io import read_mat_ark
+        for a in arks:
+            keys, mats = [], []
+            reader = (N.read_mat_ark_native(a) if N.available()
+                      else read_mat_ark(a))
+            for key, mat in reader:
+                keys.append(key)
+                mats.append(mat)
+            for key, ids in zip(keys, dec.decode_batch(mats, acwt=acwt)):
+                if ids is None:
+                    raise RuntimeError("decode failed for %s" % key)
+                if id2word is not None:
+                    hyps[key] = [id2word.get(i, "<unk>") for i in ids]
+                else:
+                    hyps[key] = [i - 1 for i in ids]
+    elif word_spec is not None:
         from .. import native as N
         from .openfst import invert_symbols, read_symbol_table
         id2word = invert_symbols(read_symbol_table(word_spec[1]))
