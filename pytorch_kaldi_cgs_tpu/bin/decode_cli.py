@@ -6,7 +6,7 @@ ref: proto/global.proto [exp] cmd, run_exp.py:467-469).
 Usage:
   python -m pytorch_kaldi_cgs_tpu.bin.decode_cli <out_dir> <ark_glob>
       <graph_dir> <text_file> [--acwt F] [--beam F] [--max-active N]
-      [--min-lmwt N --max-lmwt N]
+      [--min-lmwt N --max-lmwt N] [--recipe NAME]
 
 Prints the score dict as one JSON line on success.
 """
@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--max-active", type=int, default=7000)
     ap.add_argument("--min-lmwt", type=int, default=0)
     ap.add_argument("--max-lmwt", type=int, default=0)
+    ap.add_argument("--recipe", default=None,
+                    help="scoring recipe (decode/recipes.py): score, "
+                         "score_basic, score_wsj, score_sclite, "
+                         "score_phrich")
     args = ap.parse_args(argv)
 
     from ..decode.decode_dnn import decode_dnn, decode_dnn_sweep
@@ -36,11 +40,12 @@ def main(argv=None):
         res = decode_dnn_sweep(args.out_dir, args.ark_glob, args.graph_dir,
                                args.text_file, min_lmwt=args.min_lmwt,
                                max_lmwt=args.max_lmwt, beam=args.beam,
-                               max_active=args.max_active)
+                               max_active=args.max_active,
+                               recipe=args.recipe)
     else:
         res = decode_dnn(args.out_dir, args.ark_glob, args.graph_dir,
                          args.text_file, acwt=args.acwt, beam=args.beam,
-                         max_active=args.max_active)
+                         max_active=args.max_active, recipe=args.recipe)
     print(json.dumps(res))
     return 0
 

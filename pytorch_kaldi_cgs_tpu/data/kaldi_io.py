@@ -134,11 +134,23 @@ def _expect_binary(fd) -> bool:
     return False
 
 
+def _read_exact(fd, n: int, what: str) -> bytes:
+    """Read exactly n bytes or raise a diagnosable truncation error
+    (VERDICT r4 item 8: a short read must not surface as a numpy/struct
+    error three layers later)."""
+    data = fd.read(n)
+    if len(data) != n:
+        raise KaldiIOError(
+            "truncated stream while reading %s: wanted %d bytes, got %d "
+            "(ark/scp file cut short?)" % (what, n, len(data)))
+    return data
+
+
 def _read_int32(fd) -> int:
     size = fd.read(1)
     if size != b"\x04":
         raise KaldiIOError("expected int32 size byte, got %r" % size)
-    return struct.unpack("<i", fd.read(4))[0]
+    return struct.unpack("<i", _read_exact(fd, 4, "int32"))[0]
 
 
 def _write_int32(fd, value: int) -> None:
@@ -158,7 +170,7 @@ def read_vec_int(file_or_fd) -> np.ndarray:
             n = _read_int32(fd)
             if n == 0:
                 return np.empty(0, dtype=np.int32)
-            raw = fd.read(5 * n)
+            raw = _read_exact(fd, 5 * n, "int32 vector body (n=%d)" % n)
             pairs = np.frombuffer(raw, dtype=[("s", "int8"), ("v", "<i4")], count=n)
             if pairs[0]["s"] != 4:
                 raise KaldiIOError("corrupt int-vector element size")
@@ -218,7 +230,9 @@ def read_vec_flt(file_or_fd) -> np.ndarray:
             else:
                 raise KaldiIOError("unsupported vector token %r" % token)
             n = _read_int32(fd)
-            return np.frombuffer(fd.read(isize * n), dtype=dtype, count=n).copy()
+            return np.frombuffer(_read_exact(fd, isize * n,
+                                             "%s vector body" % token),
+                                 dtype=dtype, count=n).copy()
         line = marker + fd.readline()
         toks = line.decode().replace("[", " ").replace("]", " ").split()
         return np.array([float(t) for t in toks], dtype=np.float32)
@@ -283,7 +297,8 @@ def _read_mat_binary(fd) -> np.ndarray:
         raise KaldiIOError("unsupported matrix token %r" % token)
     rows = _read_int32(fd)
     cols = _read_int32(fd)
-    data = fd.read(rows * cols * isize)
+    data = _read_exact(fd, rows * cols * isize,
+                       "%dx%d %s matrix body" % (rows, cols, token))
     return np.frombuffer(data, dtype=dtype, count=rows * cols).reshape(rows, cols).astype(
         np.float32 if isize == 4 else np.float64)
 
@@ -321,19 +336,23 @@ def _read_compressed_mat(fd, token: str) -> np.ndarray:
     Format 3 ("CM3"): uint8 codes row-major against the global range.
     (ref behavior: data_io.py:687-767)
     """
-    gmin, grange = struct.unpack("<ff", fd.read(8))
-    rows = struct.unpack("<i", fd.read(4))[0]
-    cols = struct.unpack("<i", fd.read(4))[0]
+    gmin, grange = struct.unpack("<ff", _read_exact(fd, 8, "CM header"))
+    rows = struct.unpack("<i", _read_exact(fd, 4, "CM rows"))[0]
+    cols = struct.unpack("<i", _read_exact(fd, 4, "CM cols"))[0]
     if token == "CM2":
-        codes = np.frombuffer(fd.read(2 * rows * cols), dtype="<u2", count=rows * cols)
+        codes = np.frombuffer(_read_exact(fd, 2 * rows * cols, "CM2 codes"),
+                              dtype="<u2", count=rows * cols)
         return (gmin + codes.astype(np.float32) * (grange / 65535.0)).reshape(rows, cols)
     if token == "CM3":
-        codes = np.frombuffer(fd.read(rows * cols), dtype="u1", count=rows * cols)
+        codes = np.frombuffer(_read_exact(fd, rows * cols, "CM3 codes"),
+                              dtype="u1", count=rows * cols)
         return (gmin + codes.astype(np.float32) * (grange / 255.0)).reshape(rows, cols)
     # CM: per-column percentile coding
-    pch = np.frombuffer(fd.read(8 * cols), dtype="<u2", count=4 * cols).reshape(cols, 4)
+    pch = np.frombuffer(_read_exact(fd, 8 * cols, "CM column headers"),
+                        dtype="<u2", count=4 * cols).reshape(cols, 4)
     pvals = gmin + pch.astype(np.float32) * (grange * (1.0 / 65535.0))
-    codes = np.frombuffer(fd.read(rows * cols), dtype="u1", count=rows * cols)
+    codes = np.frombuffer(_read_exact(fd, rows * cols, "CM codes"),
+                          dtype="u1", count=rows * cols)
     codes = codes.reshape(cols, rows).astype(np.float32)  # stored column-major
     p0 = pvals[:, 0:1]
     p25 = pvals[:, 1:2]

@@ -49,6 +49,33 @@ class SynthSpec:
     # word transcripts, and the graph dir gains lexicon.txt/words.txt
     # for HCLG construction (the LibriSpeech-class capability)
     lexicon_size: int = 0
+    # --- hard mode (capacity-discriminating corpus) --------------------
+    # The default corpus (distinct Gaussian means, low noise) is frame-
+    # wise separable: every CGS design point reaches ~0 PER, so accuracy
+    # runs cannot reproduce the reference's PER-vs-compression curve
+    # (ref: cfg/record.md:29-105). hard=True layers in the variabilities
+    # that make real acoustic modelling capacity-hungry:
+    #   * overlapping classes: latent class means with small separation
+    #     (mean_scale) + frame noise -> high frame-wise Bayes error that
+    #     only temporal integration over the segment can recover;
+    #   * coarticulation: frames near segment boundaries interpolate
+    #     between the neighbouring phones' latents (boundary_frac);
+    #   * segment-coherent nuisance latent (seg_noise): averaging over
+    #     the segment helps, rewarding recurrent capacity;
+    #   * speaker variability: per-speaker random affine warp of the
+    #     latent (spk_scale), with DISJOINT speakers per split, so the
+    #     model must learn a speaker-invariant decision rule;
+    #   * a fixed random nonlinear observation map latent->tanh->feats
+    #     (mix_dim), so inverting it is a genuine function-approximation
+    #     load that shrinks with parameter count.
+    hard: bool = False
+    latent_dim: int = 24
+    mix_dim: int = 96
+    mean_scale: float = 1.0
+    boundary_frac: float = 0.3
+    seg_noise: float = 0.35
+    spk_scale: float = 0.35
+    num_speakers: int = 24
 
     @property
     def num_pdfs(self) -> int:
@@ -68,8 +95,21 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
         splits = {"train": spec.num_utts, "dev": max(spec.num_utts // 4, 4),
                   "test": max(spec.num_utts // 4, 4)}
     rng = np.random.RandomState(spec.seed)
-    # class-conditional means shared across splits
-    means = rng.randn(spec.num_pdfs, spec.feat_dim) * 2.0
+    if spec.hard:
+        # latent class means (small separation) + fixed nonlinear
+        # observation map, shared across splits
+        means_lat = rng.randn(spec.num_pdfs, spec.latent_dim) * spec.mean_scale
+        phone_lat = means_lat.reshape(
+            spec.num_phones, spec.states_per_phone, -1).mean(axis=1)
+        mix_w1 = rng.randn(spec.mix_dim, spec.latent_dim) * (
+            1.5 / np.sqrt(spec.latent_dim))
+        mix_b1 = rng.randn(spec.mix_dim) * 0.5
+        mix_w2 = rng.randn(spec.feat_dim, spec.mix_dim) * (
+            2.0 / np.sqrt(spec.mix_dim))
+        means = None
+    else:
+        # class-conditional means shared across splits
+        means = rng.randn(spec.num_pdfs, spec.feat_dim) * 2.0
     # word-level mode: fixed random lexicon (distinct pronunciations)
     lexicon: Dict[str, List[int]] = {}
     if spec.lexicon_size > 0:
@@ -90,6 +130,20 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
 
     out: Dict[str, str] = {}
     for split, n_utts in splits.items():
+        if spec.hard:
+            # DISJOINT speakers per split (test speakers unseen in
+            # training, as in TIMIT): affine latent warps drawn from a
+            # split-specific stream
+            s_rng = np.random.RandomState(
+                (spec.seed + sum(ord(c) for c in split) * 7919) % 2 ** 31)
+            spk_A = np.stack([
+                np.eye(spec.latent_dim)
+                + spec.spk_scale * s_rng.randn(spec.latent_dim,
+                                               spec.latent_dim)
+                / np.sqrt(spec.latent_dim)
+                for _ in range(spec.num_speakers)])
+            spk_b = spec.spk_scale * s_rng.randn(spec.num_speakers,
+                                                 spec.latent_dim)
         data_dir = os.path.join(root, split)
         ali_dir = os.path.join(root, split + "_ali")
         os.makedirs(data_dir, exist_ok=True)
@@ -108,10 +162,12 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
                 phones: List[int] = []
                 words: List[str] = []
                 pdf_seq: List[int] = []
+                seg_lens: List[int] = []
 
                 def emit_phone(ph: int) -> None:
                     seg = rng.randint(spec.min_seg, spec.max_seg + 1)
                     phones.append(ph)
+                    seg_lens.append(seg)
                     # walk sub-states left to right within the segment
                     for i in range(seg):
                         state = min(i * spec.states_per_phone // seg,
@@ -131,12 +187,41 @@ def generate(root: str, spec: SynthSpec = SynthSpec(),
                     while len(pdf_seq) < T:
                         emit_phone(rng.randint(spec.num_phones))
                 pdf_seq = np.array(pdf_seq[:T], dtype=np.int32)
-                feats = means[pdf_seq] + rng.randn(T, spec.feat_dim) * spec.noise
+                if spec.hard:
+                    spk = u % spec.num_speakers
+                    # per-frame latent = state mean blended with a
+                    # time-smoothed phone-center track (coarticulation)
+                    lat = means_lat[pdf_seq]
+                    pc = phone_lat[pdf_seq // spec.states_per_phone]
+                    kern = np.array([1., 2., 3., 2., 1.])
+                    kern /= kern.sum()
+                    sm = np.empty_like(pc)
+                    for d in range(pc.shape[1]):
+                        sm[:, d] = np.convolve(pc[:, d], kern, mode="same")
+                    # convolve zero-pads past the edges; renormalize
+                    ones = np.convolve(np.ones(len(pc)), kern, mode="same")
+                    sm /= ones[:, None]
+                    lat = (1.0 - spec.boundary_frac) * lat \
+                        + spec.boundary_frac * sm
+                    # segment-coherent nuisance latent + frame noise
+                    seg_u = rng.randn(len(seg_lens), spec.latent_dim) \
+                        * spec.seg_noise
+                    lat = lat + np.repeat(seg_u, seg_lens, axis=0)[:T] \
+                        + rng.randn(T, spec.latent_dim) * spec.noise
+                    # speaker warp, then the fixed nonlinear mixing
+                    z = lat @ spk_A[spk].T + spk_b[spk]
+                    h = np.tanh(z @ mix_w1.T + mix_b1)
+                    feats = h @ mix_w2.T \
+                        + rng.randn(T, spec.feat_dim) * 0.1
+                else:
+                    feats = means[pdf_seq] \
+                        + rng.randn(T, spec.feat_dim) * spec.noise
                 w.write(utt, feats.astype(np.float32))
                 # alignments hold transition-ids = pdf+1 (identity model)
                 kaldi_io.write_vec_int(ali_buf, pdf_seq + 1, key=utt)
                 counts += np.bincount(pdf_seq, minlength=spec.num_pdfs)
-                utt2spk.write("%s spk%d\n" % (utt, u % 5))
+                utt2spk.write("%s spk%d\n" % (
+                    utt, u % spec.num_speakers if spec.hard else u % 5))
                 if lexicon:
                     text.write("%s %s\n" % (utt, " ".join(words)))
                 else:

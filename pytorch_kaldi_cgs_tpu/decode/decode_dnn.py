@@ -144,7 +144,8 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
                phone_map_file: Optional[str] = None,
                num_workers: int = 4, engine: str = "auto",
                rescore_arpa: Optional[str] = None,
-               first_pass_arpa: Optional[str] = None
+               first_pass_arpa: Optional[str] = None,
+               recipe: Optional[str] = None
                ) -> Dict[str, float]:
     """Decode every ark matching ``ark_glob``, score, write results.
 
@@ -302,7 +303,16 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
     refs = {k: v for k, v in refs.items()
             if k in hyps or any(h.startswith(k) for h in hyps)}
 
-    phone_map = read_phone_map(phone_map_file) if phone_map_file else None
+    # per-corpus scoring recipe: token filtering/casing conventions
+    # (ref: kaldi_decoding_scripts/local/score_*.sh; decode/recipes.py)
+    rec = None
+    if recipe:
+        from .recipes import get_recipe
+        rec = get_recipe(recipe)
+        refs = {k: rec.filter_ref(v) for k, v in refs.items()}
+        hyps = {k: rec.filter_hyp(v) for k, v in hyps.items()}
+    phone_map = read_phone_map(phone_map_file) \
+        if phone_map_file and (rec is None or rec.use_phone_map) else None
     result = score_sequences(refs, hyps, phone_map)
 
     with open(os.path.join(out_dir, "hyp.txt"), "w") as f:
@@ -320,12 +330,21 @@ def decode_dnn(out_dir: str, ark_glob: str, graph_dir: str,
 
 
 def decode_dnn_sweep(out_dir: str, ark_glob: str, graph_dir: str,
-                     text_file: str, min_lmwt: int = 1, max_lmwt: int = 10,
+                     text_file: str, min_lmwt: Optional[int] = None,
+                     max_lmwt: Optional[int] = None,
                      **kw) -> Dict[str, float]:
     """Decode with a sweep of LM weights (acwt = 1/lmwt) and keep the
     best WER — the reference scores every lmwt 1..10 and greps the best
     (ref: local/score.sh:55-60 + best_wer.sh). Writes wer_<lmwt> files
-    and returns the best score dict (with "lmwt" recorded)."""
+    and returns the best score dict (with "lmwt" recorded).
+
+    When min/max are not given they default to the scoring recipe's
+    range (e.g. score_wsj sweeps 5..20, ref local/score_wsj.sh:12-14)."""
+    if min_lmwt is None or max_lmwt is None:
+        from .recipes import get_recipe
+        rec = get_recipe(kw.get("recipe") or "score")
+        min_lmwt = rec.min_lmwt if min_lmwt is None else min_lmwt
+        max_lmwt = rec.max_lmwt if max_lmwt is None else max_lmwt
     best = None
     for lmwt in range(min_lmwt, max_lmwt + 1):
         sub = os.path.join(out_dir, "score_%d" % lmwt)

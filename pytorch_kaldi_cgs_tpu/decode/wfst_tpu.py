@@ -61,9 +61,11 @@ def _eps_depth(num_states: int, z_src: np.ndarray, z_dst: np.ndarray,
             indeg[d] -= 1
             if indeg[d] == 0:
                 order.append(int(d))
-    if seen < num_states and best < cap:
+    if seen < num_states:
         return cap          # eps cycle somewhere: fixpoint-cap passes
-    return min(max(best, 1), cap) if len(z_src) else 0
+    # Acyclic: the computed depth is exact — use it even beyond ``cap``
+    # (clamping would silently truncate the per-frame eps closure).
+    return max(best, 1)
 
 
 class TpuWfstDecoder:
@@ -206,10 +208,11 @@ class TpuWfstDecoder:
 
     # -- host-side backtrace ------------------------------------------------
     def _backtrace(self, state: int, barc0: np.ndarray, barcs: np.ndarray,
-                   T: int) -> List[int]:
+                   T: int) -> Optional[List[int]]:
         """Walk best arcs backwards. barcs[t, s] is the LAST arc taken
         into s during frame t (an eps arc chains to another entry at the
-        SAME t; an emitting arc steps to t-1)."""
+        SAME t; an emitting arc steps to t-1). Returns None (a failed
+        decode) if the recorded backpointers are inconsistent."""
         labels: List[int] = []
         t = T - 1
         hops = 0
@@ -217,7 +220,11 @@ class TpuWfstDecoder:
         while t >= 0:
             a = int(barcs[t, state])
             if a < 0:
-                break          # reached a frame where state had no arc
+                # Inconsistent backtrace: finite Viterbi cost but no
+                # recorded arc into this state at frame t. Chaining
+                # barc0 from here would be wrong (it only describes the
+                # pre-frame-0 eps closure) — report a failed decode.
+                return None
             if self._h_olabel[a]:
                 labels.append(int(self._h_olabel[a]))
             state = int(self._h_src[a])

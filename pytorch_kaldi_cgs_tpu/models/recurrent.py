@@ -290,8 +290,10 @@ class _RecurrentBase(AcousticModel):
         M = T * B
         pad = (-M) % tile_m
         if pad:
+            # xin may already have been widened to layout.K columns
+            # above, so pad rows at the *current* width, not F.
             xin = jnp.concatenate(
-                [xin, jnp.zeros((pad, F), xin.dtype)], axis=0)
+                [xin, jnp.zeros((pad, xin.shape[1]), xin.dtype)], axis=0)
         w3 = BS.stack_w3_gates(params["%s%d__bs" % (g, i)]
                                for g in self.gates_x)
         interpret = jax.default_backend() not in ("tpu", "axon")

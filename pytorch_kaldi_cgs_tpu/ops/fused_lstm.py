@@ -506,6 +506,7 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     cdt = "bf16" if compute_dtype in ("bf16", "bfloat16") else ""
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32),
                             (B, H))
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("lstm")
     fwd = _build_fwd(T, B, H, act, quant_bits, interpret, cdt=cdt)
     if stash:
@@ -549,7 +550,7 @@ def lstm_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
                                  hq.astype(u_dt),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
@@ -574,6 +575,7 @@ def lstm_scan_fused_seeded(gates_t: jnp.ndarray, U: jnp.ndarray,
     H = G4 // 4
     cdt = "bf16" if compute_dtype in ("bf16", "bfloat16") else ""
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("lstm")
     fwd = _build_fwd(T, B, H, act, quant_bits, interpret, with_init=True,
                      cdt=cdt)
@@ -627,7 +629,7 @@ def lstm_scan_fused_seeded(gates_t: jnp.ndarray, U: jnp.ndarray,
                                  hq.astype(u_dt),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return (dgate, dU.astype(U.dtype),
                 dh0.astype(h0.dtype), dc0.astype(c0.dtype),
                 jnp.zeros_like(drop))
@@ -976,6 +978,7 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
     mode = sparse_scan_fits_vmem(B, H, layout, G)
     if mode == "bf16":
         w3g = w3g.astype(jnp.bfloat16)
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("lstm")
     fwd = _build_fwd_sparse(T, B, H, act, quant_bits, Nb, R, bs, G,
                             col_idx, interpret)
@@ -1013,7 +1016,7 @@ def lstm_scan_fused_sparse(gates_t: jnp.ndarray, w3g: jnp.ndarray,
         M = T * B
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dw3g = sparse_dU(dg.reshape(M, G * H), hq, layout, G, interpret)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return dgate, dw3g.astype(w3g.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)

@@ -230,6 +230,7 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     T, B, G2 = gates_t.shape
     H = G2 // 2
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("ligru")
     fwd = _build_ligru_fwd(T, B, H, act, quant_bits, interpret)
     if stash:
@@ -262,7 +263,7 @@ def ligru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dU = jnp.einsum("mg,mh->gh", dg.reshape(M, 2 * H), hq,
                         preferred_element_type=jnp.float32)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
@@ -519,6 +520,7 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     T, B, G3 = gates_t.shape
     H = G3 // 3
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("gru")
     fwd = _build_gru_fwd(T, B, H, act, quant_bits, interpret)
     if stash:
@@ -564,7 +566,7 @@ def gru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dUzr = jnp.einsum("mg,mh->gh", dgm[:, H:], hq,
                           preferred_element_type=jnp.float32)
         dU = jnp.concatenate([dUh, dUzr], axis=0)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
@@ -971,6 +973,7 @@ def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     T, B, G2 = gates_t.shape
     H = G2 // 2
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("mgru")
     fwd = _build_mgru_fwd(T, B, H, act, quant_bits, interpret)
     if stash:
@@ -1013,7 +1016,7 @@ def mgru_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         dUz = jnp.einsum("mg,mh->gh", dgm[:, H:], hq,
                          preferred_element_type=jnp.float32)
         dU = jnp.concatenate([dUh, dUz], axis=0)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)
@@ -1208,6 +1211,7 @@ def rnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
     """hs = fused vanilla-RNN recurrence; gates_t: (T, B, H); U: (H, H)."""
     T, B, H = gates_t.shape
     drop = jnp.broadcast_to(jnp.asarray(drop_mask, jnp.float32), (B, H))
+    g_dt = gates_t.dtype
     stash = _bwd_stash_enabled("rnn")
     fwd = _build_rnn_fwd(T, B, H, act, quant_bits, interpret)
     if stash:
@@ -1240,7 +1244,7 @@ def rnn_scan_fused(gates_t: jnp.ndarray, U: jnp.ndarray,
         hq = _q_vmap(h_prev, quant_bits).reshape(M, H)
         dU = jnp.einsum("mg,mh->gh", dg.reshape(M, H), hq,
                         preferred_element_type=jnp.float32)
-        dgate = dg if stash else dg.astype(gates_t.dtype)
+        dgate = dg.astype(g_dt)
         return dgate, dU.astype(U.dtype)
 
     _op.defvjp(_fwd_rule, _bwd_rule)

@@ -61,9 +61,29 @@ def save_checkpoint(path: str, model_par: Dict[str, Any],
     _write_atomic(path, payload)
 
 
+class CheckpointError(RuntimeError):
+    """Unloadable checkpoint — with the failure-mode contract spelled
+    out (VERDICT r4 item 8; the reference hard-exits with no context,
+    ref run_exp.py:215-219)."""
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    if not os.path.exists(path):
+        raise CheckpointError(
+            "checkpoint %s is missing. If this chunk's .info marker "
+            "exists, the run is resuming past a chunk whose checkpoint "
+            "was deleted or never written — delete the corresponding "
+            ".info file under exp_files/ to retrain that chunk." % path)
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except (pickle.UnpicklingError, EOFError, ValueError) as e:
+        raise CheckpointError(
+            "checkpoint %s is corrupt (%s). Writes are atomic "
+            "(temp+os.replace), so a damaged file under the final name "
+            "means post-write corruption — delete it and the chunk's "
+            ".info marker to retrain from the previous chunk." % (path, e)
+        ) from e
 
 
 class AsyncCheckpointer:

@@ -387,7 +387,10 @@ def run_nn(chunk: Optional[ChunkData], cfg_file: str,
         new_vars = {}
         for arch in graph.net_order:
             pt = config[graph.arch_secs[arch]]["arch_pretrain_file"]
-            if pt != "none" and os.path.exists(pt):
+            if pt != "none":
+                # a configured-but-missing pretrain file must FAIL here
+                # (CheckpointError with the .info remedy), not silently
+                # restart this net from random init (VERDICT r4 item 8)
                 ckpt = load_checkpoint(pt)
                 new_vars[arch] = ckpt["model_par"]
                 if opt_states is None:

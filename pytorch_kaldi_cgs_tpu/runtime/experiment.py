@@ -259,8 +259,10 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
         scoring_opts = config["decoding"].get("scoring_opts", "")
         m_min = re.search(r"--min-lmwt (\d+)", scoring_opts)
         m_max = re.search(r"--max-lmwt (\d+)", scoring_opts)
-        sweep = bool(m_min and m_max and
-                     int(m_max.group(1)) > int(m_min.group(1)))
+        lmwt_lo = int(m_min.group(1)) if m_min else None
+        lmwt_hi = int(m_max.group(1)) if m_max else None
+        sweep = bool(lmwt_lo is not None and lmwt_hi is not None
+                     and lmwt_hi > lmwt_lo)
         beam = float(config["decoding"].get("beam", 13.0))
         max_active = int(config["decoding"].get("max_active", 7000))
         # [decoding] rescore_arpa: second-pass LM for lattice rescoring
@@ -273,6 +275,21 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
         if rescore_arpa:
             rescore_kw = {"rescore_arpa": rescore_arpa,
                           "first_pass_arpa": first_pass_arpa or None}
+        # [decoding] scoring_recipe: per-corpus hyp/ref conventions
+        # (score/score_basic/score_wsj/score_sclite/score_phrich —
+        # decode/recipes.py; ref kaldi_decoding_scripts/local/score_*.sh).
+        # A recipe without explicit --min/max-lmwt in scoring_opts sweeps
+        # the recipe's own lmwt range (e.g. wsj: 5..20).
+        scoring_recipe = config["decoding"].get("scoring_recipe",
+                                                "").strip()
+        if scoring_recipe:
+            rescore_kw["recipe"] = scoring_recipe
+            if not sweep:
+                from ..decode.recipes import get_recipe
+                _rec = get_recipe(scoring_recipe)
+                if _rec.max_lmwt > _rec.min_lmwt:
+                    sweep = True
+                    lmwt_lo, lmwt_hi = _rec.min_lmwt, _rec.max_lmwt
         for fwd_data in forward_lst:
             sec = cfg_item2sec(config, "data_name", fwd_data)
             lab_names, lab_folders, _ = parse_lab_field(config[sec]["lab"])
@@ -301,8 +318,10 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                                 "--acwt", str(acwt), "--beam", str(beam),
                                 "--max-active", str(max_active)]
                         if sweep:
-                            argv += ["--min-lmwt", m_min.group(1),
-                                     "--max-lmwt", m_max.group(1)]
+                            argv += ["--min-lmwt", str(lmwt_lo),
+                                     "--max-lmwt", str(lmwt_hi)]
+                        if scoring_recipe:
+                            argv += ["--recipe", scoring_recipe]
                         proc = subprocess.run(
                             shlex.split(cluster_cmd) + argv,
                             capture_output=True, text=True, check=True)
@@ -310,8 +329,7 @@ def run_exp(cfg_file: str, overrides: Optional[List[str]] = None) -> Dict:
                     elif sweep:
                         res = decode_dnn_sweep(
                             dec_dir, ark_glob, graph_dir, text_file,
-                            min_lmwt=int(m_min.group(1)),
-                            max_lmwt=int(m_max.group(1)),
+                            min_lmwt=lmwt_lo, max_lmwt=lmwt_hi,
                             beam=beam, max_active=max_active, **rescore_kw)
                     else:
                         res = decode_dnn(dec_dir, ark_glob, graph_dir,

@@ -129,6 +129,7 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    multitask_mono: bool = False,
                    multi_gpu: bool = False, model_parallel: int = 1,
                    seq_parallel: int = 1,
+                   scoring_recipe: Optional[str] = None,
                    extra_arch_lines: Optional[str] = None) -> str:
     """Create <cfg_path> wiring the synthetic dataset at ``data_root``
     into a train/valid/forward experiment with the given flagship arch
@@ -343,7 +344,9 @@ max_arcs = -1
 skip_scoring = false
 scoring_opts = "{scoring_opts}"
 norm_vars = False
-""".format(scoring_opts="--min-lmwt 1 --max-lmwt 10" if lmwt_sweep
+{recipe_line}""".format(
+           recipe_line=("scoring_recipe = %s\n" % scoring_recipe)
+           if scoring_recipe else "",scoring_opts="--min-lmwt 1 --max-lmwt 10" if lmwt_sweep
            else "--min-lmwt 5 --max-lmwt 5",
            guided_ep=("\napply_guided_ep = %d" % apply_guided_ep)
            if apply_guided_ep is not None else "",

@@ -87,6 +87,53 @@ def chained_step_time(step: Callable, args: Sequence, chain: Callable,
     return max(est, 1e-9)
 
 
+def interleaved_step_time(step: Callable, args: Sequence, chain: Callable,
+                          readback: Callable, n_lo: int = 2, n_hi: int = 12,
+                          rounds: int = 5, interleave: Callable = None):
+    """Like :func:`chained_step_time`, but alternates the step's window
+    pairs with ``interleave()`` (typically a fixed calibration kernel)
+    and returns the per-round evidence instead of one scalar:
+    ``(est, per_round_ests, interleave_results)``.
+
+    Rationale (PERF.md measurement honesty): sequential A/B on this
+    shared chip swings arbitrarily with contention — the round-4 driver
+    scoreboard "regressed" 2.482->2.554 ms on a round that made the code
+    faster. Interleaving a known-cost kernel makes contention VISIBLE
+    (its per-round result moves when the chip is busy), and reporting
+    the spread of per-round estimates makes cross-round comparisons of
+    the min meaningful."""
+    if n_hi <= n_lo:
+        raise ValueError("need n_hi > n_lo")
+    out = step(*args)
+    sync_value(readback(out))
+    counter = [0]
+
+    def run(n, cur):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            counter[0] += 1
+            out = step(*cur)
+            cur = chain(cur, out, counter[0])
+        sync_value(readback(out))
+        return time.perf_counter() - t0, cur
+
+    cur = args
+    _, cur = run(n_lo, cur)      # warm round, discarded
+    _, cur = run(n_hi, cur)
+    lo, hi, inter = [], [], []
+    for _ in range(rounds):
+        if interleave is not None:
+            inter.append(interleave())
+        t_lo, cur = run(n_lo, cur)
+        t_hi, cur = run(n_hi, cur)
+        lo.append(t_lo)
+        hi.append(t_hi)
+    den = n_hi - n_lo
+    est = max((min(hi) - min(lo)) / den, 1e-9)
+    per_round = [(h - l) / den for l, h in zip(lo, hi)]
+    return est, per_round, inter
+
+
 def device_loop_time(body: Callable, init, n_lo: int = 10, n_hi: int = 110,
                      repeats: int = 2) -> float:
     """Seconds per iteration of ``body(carry) -> carry``, run on-device

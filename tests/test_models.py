@@ -328,6 +328,33 @@ def test_mlp_block_sparse_path_matches_dense():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_lstm_block_sparse_padded_k_and_m():
+    """K-padded layout (input width not a multiple of the block) AND
+    T*B not a multiple of the 256-row tile: the M-row padding must pad
+    at the widened width, not the original F (ADVICE r4 medium — the
+    pad rows were built with F columns after xin was widened to
+    layout.K, raising a trace-time shape mismatch)."""
+    o = lstm_opts("256", lstm_hcgs="True", hcgsx_block="128",
+                  hcgsx_sparse="50", hcgsh_block="128", hcgsh_sparse="50")
+    o["lstm_use_batchnorm"] = "False"
+    o["lstm_use_laynorm"] = "False"
+    inp = 1000                      # kb_eff = ceil(1000/128) = 8, K-padded
+    m_dense = M.LSTM(dict(o), inp)
+    m_bs = M.LSTM(dict(o, lstm_block_sparse="True"), inp)
+    v = m_dense.init(0)
+    m_bs.prepare_block_sparse(v)
+    assert 0 in m_bs._bs_layouts
+    layout = m_bs._bs_layouts[0][0]
+    assert layout.K == 1024 and layout.k_true == 1000
+    v_bs = m_bs.pack_variables(v)
+    x = jnp.array(np.random.RandomState(3).randn(5, 3, inp), jnp.float32)
+    assert (5 * 3) % 256 != 0
+    y_s, _ = m_bs.apply(v_bs, x, train=False)
+    y_d, _ = m_dense.apply(v, x, train=False)
+    np.testing.assert_allclose(np.array(y_s), np.array(y_d), rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_bf16_compute_close_to_f32():
     o = lstm_opts("32")
     m32 = M.LSTM(dict(o), 12)
