@@ -350,7 +350,8 @@ class _RecurrentBase(AcousticModel):
         if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
             return False
         from ..ops.fused_rnn import fits_vmem as frnn_fits
-        if not frnn_fits(B, H, n_gates):
+        if not frnn_fits(B, H, n_gates,
+                         "bf16" if self.compute_dtype is not None else ""):
             return False
         return (jax.default_backend() in ("tpu", "axon") or
                 self._fused_forced())
@@ -379,7 +380,8 @@ class _RecurrentBase(AcousticModel):
         if use_ln or act_name not in ("tanh", "relu", "htanh", "linear"):
             return False
         from ..ops.fused_lstm import fits_vmem
-        if not fits_vmem(B, H):
+        if not fits_vmem(B, H,
+                         "bf16" if self.compute_dtype is not None else ""):
             return False
         if jax.default_backend() in ("tpu", "axon"):
             return True

@@ -477,11 +477,17 @@ def _bwd_stash_enabled(cell: str = "lstm") -> bool:
     return _STASH_DEFAULT.get(cell, False)
 
 
-def fits_vmem(B: int, H: int) -> bool:
+def fits_vmem(B: int, H: int, compute_dtype: str = "") -> bool:
     """Conservative VMEM budget check (16MB/core, leave headroom).
     dU does not live in the bwd kernel (accumulated outside over the
-    unrolled batch), so train costs the same VMEM as inference."""
-    weights = 4 * H * H * 4                    # U f32
+    unrolled batch), so train costs the same VMEM as inference.
+
+    Dtype-aware (VERDICT r4 item 5): under bf16 compute the kernel
+    receives U already cast to bf16 (u_dt in the scan wrappers), so
+    resident weight bytes halve — H=1024 dense-fused fits in bf16
+    where f32 overflows. Carries/gates stay f32 either way."""
+    w_bytes = 2 if compute_dtype in ("bf16", "bfloat16") else 4
+    weights = 4 * H * H * w_bytes              # U residency
     work = 8 * B * H * 4 + B * 4 * H * 4 * 3
     return weights + work < 12 * 1024 * 1024
 

@@ -1265,8 +1265,10 @@ def rnn_scan_fused_stream(gates_t: jnp.ndarray, U: jnp.ndarray,
     return hs, hs[-1]
 
 
-def fits_vmem(B: int, H: int, n_gates: int) -> bool:
-    weights = n_gates * H * H * 4
+def fits_vmem(B: int, H: int, n_gates: int, compute_dtype: str = "") -> bool:
+    """Dtype-aware like fused_lstm.fits_vmem: bf16 halves U residency."""
+    w_bytes = 2 if compute_dtype in ("bf16", "bfloat16") else 4
+    weights = n_gates * H * H * w_bytes
     work = 6 * B * H * 4 + 3 * B * n_gates * H * 4
     return weights + work < 12 * 1024 * 1024
 

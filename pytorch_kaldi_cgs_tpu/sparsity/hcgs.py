@@ -35,7 +35,18 @@ import numpy as np
 
 
 def _keep_count(n_blocks: int, drop_ratio: float) -> int:
-    return int(round(n_blocks * (1.0 - drop_ratio / 100.0)))
+    """Kept blocks per row at one level — clamped to >= 1.
+
+    The reference's ``int(round(n_blk_cols * sparsity))``
+    (hcgs.py:26) rounds to ZERO whenever the block grid is narrow
+    relative to the drop (e.g. a 143-wide fMLLR input under a 128
+    block with >= 75% level-1 drop: round(2 * 0.25) = 0) — the whole
+    projection masks out and the layer can never see its input; the
+    reference only avoids this because its shipped cfgs pair narrow
+    inputs with gentle level-1 drops (25%). Clamping to one kept block
+    keeps the layer alive; the effective compression of narrow layers
+    is then bounded by the grid (documented in examples/cgs_curve.py)."""
+    return max(1, int(round(n_blocks * (1.0 - drop_ratio / 100.0))))
 
 
 def _block_grid(n: int, block: int) -> int:
