@@ -206,18 +206,152 @@ class TpuWfstDecoder:
                                        np.asarray(barcs), T))
         return out
 
+    # -- on-device forward/backward (log semiring) --------------------------
+    def _build_fb(self, T: int):
+        """Posterior machinery for confidences (VERDICT r4 item 7: the
+        on-device path to word confidences, previously only reachable
+        through the device->host transfer + C++ lattice round-trip).
+
+        Log-semiring forward/backward over the same flat arc table as
+        the Viterbi scan. Eps closure uses DELTA propagation — pass k
+        adds exactly the mass of paths with k eps arcs, so each acyclic
+        eps path is counted once (naive relaxation would re-add mass
+        every pass). Memory: two (T+1, S) f32 stacks on device; fine
+        for graphs where T*S*8 bytes fits HBM (the big-graph serving
+        path stays on the C++ lattice engine)."""
+        import jax
+        import jax.numpy as jnp
+
+        S, K = self.num_states, self._K
+        e_src, e_dst, e_pdf, e_w = (self._e_src, self._e_dst,
+                                    self._e_pdf, self._e_w)
+        z_src, z_dst, z_w = self._z_src, self._z_dst, self._z_w
+        NEG = jnp.float32(-1e30)
+
+        def seg_lse(vals, seg, num):
+            m = jax.ops.segment_max(vals, seg, num_segments=num)
+            m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+            s = jax.ops.segment_sum(jnp.exp(vals - m_safe[seg]), seg,
+                                    num_segments=num)
+            return jnp.where(s > 0, m_safe + jnp.log(s), NEG)
+
+        def close_fwd(x):
+            total, delta = x, x
+            for _ in range(K):
+                delta = seg_lse(delta[z_src] - z_w, z_dst, S)
+                total = jnp.logaddexp(total, delta)
+            return total
+
+        def close_bwd(x):
+            total, delta = x, x
+            for _ in range(K):
+                delta = seg_lse(delta[z_dst] - z_w, z_src, S)
+                total = jnp.logaddexp(total, delta)
+            return total
+
+        def fwd_frame(alpha, ll_t_and_valid):
+            ll_t, valid = ll_t_and_valid
+            lp = ll_t[e_pdf] - e_w                  # log-prob of the arc
+            na = close_fwd(seg_lse(alpha[e_src] + lp, e_dst, S))
+            na = jnp.where(valid, na, alpha)
+            return na, na
+
+        def bwd_frame(beta, ll_t_and_valid):
+            ll_t, valid = ll_t_and_valid
+            lp = ll_t[e_pdf] - e_w
+            cb = close_bwd(beta)
+            nb = seg_lse(cb[e_dst] + lp, e_src, S)
+            nb = jnp.where(valid, nb, beta)
+            return nb, beta       # emit beta AFTER frame t (cut point t)
+
+        def run(ll, t_real, acwt):
+            lls = ll * acwt
+            valid = jnp.arange(T) < t_real
+            a0 = jnp.full((S,), NEG).at[self.start].set(0.0)
+            a0 = close_fwd(a0)
+            _, alphas = jax.lax.scan(fwd_frame, a0, (lls, valid))
+            bT = -self._final
+            # reverse scan: walk frames T-1..0; emitted value is the
+            # beta at cut point t (mass to go after frame t)
+            _, betas = jax.lax.scan(bwd_frame, bT, (lls, valid),
+                                    reverse=True)
+            logZ = jax.scipy.special.logsumexp(alphas[-1] - self._final)
+            return alphas, betas, logZ
+
+        return jax.jit(run)
+
+    def _get_fb(self, T: int):
+        key = ("fb", T)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_fb(T)
+        return self._jit_cache[key]
+
+    def decode_batch_conf(self, mats, acwt: float = 0.2,
+                          pad_to: Optional[int] = None):
+        """Best-path labels WITH per-word confidences, computed without
+        any posterior leaving the device (role of lattice-to-ctm-conf,
+        ref kaldi_decoding_scripts/local/score_sclite.sh:57-60).
+
+        Confidence of a word = exp(min over its frame span of the
+        best-path state posterior alpha_t + beta_t - logZ) — the
+        weakest-link frame posterior of the path segment that carries
+        the word. Returns a list of (labels, confs) or None per utt."""
+        import jax.numpy as jnp
+        out = []
+        for ll in mats:
+            T = int(ll.shape[0])
+            Tp = pad_to or (1 << max(3, (T - 1).bit_length()))
+            llp = np.zeros((Tp, ll.shape[1]), np.float32)
+            llp[:T] = np.asarray(ll, np.float32)
+            fn = self._get(Tp)
+            best_state, cost, barc0, barcs = fn(jnp.asarray(llp), T,
+                                                float(acwt))
+            if float(cost) >= float(_BIG):
+                out.append(None)
+                continue
+            walked = self._backtrace(int(best_state), np.asarray(barc0),
+                                     np.asarray(barcs), T, with_path=True)
+            if walked is None:
+                out.append(None)
+                continue
+            labels, word_frames, path_states = walked
+            fb = self._get_fb(Tp)
+            alphas, betas, logZ = fb(jnp.asarray(llp), T, float(acwt))
+            idx_t = jnp.arange(T)
+            gamma = (alphas[idx_t, jnp.asarray(path_states)]
+                     + betas[idx_t, jnp.asarray(path_states)] - logZ)
+            gamma = np.asarray(gamma)
+            confs = []
+            spans = word_frames + [T]
+            for i in range(len(labels)):
+                lo, hi = spans[i], max(spans[i + 1], spans[i] + 1)
+                seg = gamma[lo:hi]
+                confs.append(float(np.exp(np.clip(seg.min(), -50.0, 0.0)))
+                             if len(seg) else 0.0)
+            out.append((labels, confs))
+        return out
+
     # -- host-side backtrace ------------------------------------------------
     def _backtrace(self, state: int, barc0: np.ndarray, barcs: np.ndarray,
-                   T: int) -> Optional[List[int]]:
+                   T: int, with_path: bool = False):
         """Walk best arcs backwards. barcs[t, s] is the LAST arc taken
         into s during frame t (an eps arc chains to another entry at the
         SAME t; an emitting arc steps to t-1). Returns None (a failed
-        decode) if the recorded backpointers are inconsistent."""
+        decode) if the recorded backpointers are inconsistent.
+
+        with_path=True returns (labels, word_frames, path_states)
+        instead: the frame index at which each label's arc sits, and
+        the best-path state at every frame cut (for the on-device
+        posterior gather in decode_batch_conf)."""
         labels: List[int] = []
+        word_frames: List[int] = []
+        path_states = np.full(T, -1, np.int64)
         t = T - 1
         hops = 0
         max_hops = (T + 2) * (self._K + 2) + len(self._h_src)
         while t >= 0:
+            if path_states[t] < 0:      # first visit = the cut-t state
+                path_states[t] = state
             a = int(barcs[t, state])
             if a < 0:
                 # Inconsistent backtrace: finite Viterbi cost but no
@@ -227,6 +361,7 @@ class TpuWfstDecoder:
                 return None
             if self._h_olabel[a]:
                 labels.append(int(self._h_olabel[a]))
+                word_frames.append(t)
             state = int(self._h_src[a])
             if a < self._n_emit:
                 t -= 1
@@ -245,4 +380,10 @@ class TpuWfstDecoder:
             if hops > max_hops:
                 raise RuntimeError("init backtrace did not terminate")
         labels.reverse()
+        if with_path:
+            word_frames.reverse()
+            # pre-frame-0 (barc0) words sit at frame 0
+            while len(word_frames) < len(labels):
+                word_frames.insert(0, 0)
+            return labels, word_frames, path_states
         return labels

@@ -97,6 +97,48 @@ class Recognizer:
         return batched_viterbi_decode(np.asarray(logp), frame_lengths,
                                       self.hmm, acwt=self.acwt)
 
+    def recognize_with_confidence(self, audio: np.ndarray,
+                                  lengths_samples=None, decoder=None):
+        """Like :meth:`recognize` but returns (labels, per-word
+        confidences) per utterance, with the search AND the
+        forward-backward posteriors running on-device
+        (decode.wfst_tpu.decode_batch_conf) — confidences without the
+        device->host posterior transfer + C++ lattice round-trip
+        (VERDICT r4 item 7; role of lattice-to-ctm-conf).
+
+        decoder: a TpuWfstDecoder over the serving graph; defaults to
+        the recognizer's phone loop."""
+        B, T_samples = audio.shape
+        if self._fn is None:
+            self._fn = self._build(B, T_samples)
+        logp = self._fn(jnp.asarray(audio, jnp.float32))
+        n_frames = self.frontend.num_frames(T_samples)
+        if lengths_samples is None:
+            frame_lengths = np.full(B, n_frames)
+        else:
+            frame_lengths = np.array([
+                max(1, self.frontend.num_frames(int(l)))
+                for l in lengths_samples])
+        if decoder is None:
+            decoder = self._phone_loop_decoder()
+        mats = [np.asarray(logp[i, :frame_lengths[i]]) for i in range(B)]
+        return decoder.decode_batch_conf(mats, acwt=self.acwt)
+
+    def _phone_loop_decoder(self):
+        if getattr(self, "_pl_decoder", None) is None:
+            import tempfile
+
+            from ..decode.openfst import read_fst_text
+            from ..decode.wfst_tpu import TpuWfstDecoder
+            from ..native import build_phone_loop_fst
+            with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                             delete=False) as f:
+                path = f.name
+            build_phone_loop_fst(path, self.hmm.num_phones,
+                                 self.hmm.states_per_phone)
+            self._pl_decoder = TpuWfstDecoder(read_fst_text(path))
+        return self._pl_decoder
+
 
 class StreamingRecognizer:
     """Chunked (incremental) recognition with carried recurrent state —

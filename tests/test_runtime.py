@@ -285,6 +285,17 @@ def test_recognizer_pipeline_runs():
     assert len(seqs) == 3
     assert all(len(s) >= 1 for s in seqs)
     assert all(0 <= p < 4 for s in seqs for p in s)
+    # confidences without leaving the device (VERDICT r4 item 7): the
+    # phone-loop olabels are phone+1
+    res = rec.recognize_with_confidence(audio,
+                                        lengths_samples=[8000, 4000, 6000])
+    assert len(res) == 3
+    for r in res:
+        assert r is not None
+        labels, confs = r
+        assert len(labels) == len(confs) >= 1
+        assert all(1 <= l <= 4 for l in labels)
+        assert all(0.0 <= c <= 1.0 for c in confs)
 
 
 def test_decoding_cli(synth_root):

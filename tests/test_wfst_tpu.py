@@ -113,3 +113,89 @@ def test_decode_dnn_tpu_wfst_engine(tmp_path):
         assert os.path.exists(out / "hyp.txt")
     assert outs["tpu-wfst"] == outs["native"]
     assert outs["tpu-wfst"] < 20.0
+
+
+def test_decode_conf_sharp_posteriors_high_confidence(tmp_path):
+    """On-device confidences (decode_batch_conf): sharp posteriors give
+    word confidences near 1 and the same labels as decode_batch."""
+    from pytorch_kaldi_cgs_tpu.decode.graph import build_word_graph
+    lexicon = {"ab": [[0, 1]], "ba": [[1, 0]]}
+    word_ids = {"ab": 1, "ba": 2}
+    hclg = build_word_graph(lexicon, word_ids, 2)
+    dec = TpuWfstDecoder(hclg)
+    # pdfs: phone p state k -> p*2+k; say 'ab' sharply: 0,1 then 2,3
+    ll = np.full((8, 4), -12.0, np.float32)
+    for t, p in enumerate([0, 1, 1, 2, 3, 3, 3, 3]):
+        ll[t, p] = -0.05
+    (labels, confs), = dec.decode_batch_conf([ll], acwt=1.0)
+    assert labels == dec.decode(ll, acwt=1.0) == [1]
+    assert len(confs) == 1 and confs[0] > 0.8
+
+
+def test_decode_conf_ambiguity_lowers_confidence(tmp_path):
+    """Two near-equally-likely words: confidence drops toward 0.5."""
+    from pytorch_kaldi_cgs_tpu.decode.graph import build_word_graph
+    # homophone-ish pair: same first phone, ambiguous second
+    lexicon = {"aa": [[0, 0]], "ab": [[0, 1]]}
+    word_ids = {"aa": 1, "ab": 2}
+    hclg = build_word_graph(lexicon, word_ids, 2)
+    dec = TpuWfstDecoder(hclg)
+    ll = np.full((8, 4), -12.0, np.float32)
+    # phone 0 frames sharp; second phone frames split between pdfs of
+    # phone 0 (0,1) and phone 1 (2,3) almost evenly
+    for t, p in enumerate([0, 1, 1, 1]):
+        ll[t, p] = -0.05
+    for t in range(4, 8):
+        ll[t, 0] = -0.70   # phone 0 continuation
+        ll[t, 2] = -0.75   # phone 1 nearly as likely
+    (labels, confs), = dec.decode_batch_conf([ll], acwt=1.0)
+    assert labels is not None and len(labels) == 1
+    assert confs[0] < 0.9   # genuinely uncertain
+    # and a failed decode still reports None
+    bad = np.full((4, 4), np.float32(-1e30))
+    assert dec.decode_batch_conf([bad], acwt=1.0)[0] is None
+
+
+def test_forward_backward_exact_vs_numpy(tmp_path):
+    """logZ and per-frame path posteriors vs an independent dense
+    log-semiring DP in numpy (eps-free graph, exact comparison)."""
+    from pytorch_kaldi_cgs_tpu.decode.openfst import FstData, _ARC_DTYPE
+    # 3-state chain with a parallel arc: s0 -a0-> s1 -a1/a2-> s2(final)
+    arcs = np.zeros(4, _ARC_DTYPE)
+    src = np.array([0, 1, 1, 2], np.int32)
+    arcs["ilabel"] = [1, 2, 3, 1]
+    arcs["olabel"] = [0, 5, 6, 0]
+    arcs["nextstate"] = [1, 2, 2, 0]
+    arcs["weight"] = [0.3, 0.9, 0.4, 0.7]
+    final = np.full(3, np.inf, np.float32)
+    final[2] = 0.2
+    fst = FstData(start=0, final=final, src=src, arcs=arcs)
+    dec = TpuWfstDecoder(fst)
+    rng = np.random.RandomState(0)
+    T = 5
+    ll = np.log(rng.dirichlet(np.ones(3), size=T)).astype(np.float32)
+
+    # independent numpy forward (log semiring over the same arc table)
+    alpha = np.full(3, -np.inf)
+    alpha[0] = 0.0
+    for t in range(T):
+        na = np.full(3, -np.inf)
+        for a in range(4):
+            lp = ll[t, arcs["ilabel"][a] - 1] - arcs["weight"][a]
+            na[arcs["nextstate"][a]] = np.logaddexp(
+                na[arcs["nextstate"][a]], alpha[src[a]] + lp)
+        alpha = na
+    fin = np.where(np.isfinite(final), final, 1e30)
+    logZ_np = np.logaddexp.reduce(alpha - fin)
+
+    fb = dec._get_fb(8)
+    import jax.numpy as jnp
+    llp = np.zeros((8, 3), np.float32)
+    llp[:T] = ll
+    alphas, betas, logZ = fb(jnp.asarray(llp), T, 1.0)
+    np.testing.assert_allclose(float(logZ), logZ_np, rtol=1e-5)
+    # beta consistency: alpha_t + beta_t summed over states == logZ
+    for t in range(T):
+        tot = np.logaddexp.reduce(np.asarray(alphas[t]) +
+                                  np.asarray(betas[t]))
+        np.testing.assert_allclose(tot, logZ_np, rtol=1e-4)
