@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--utts", type=int, default=240)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--noise", type=float, default=0.6)
+    ap.add_argument("--spk-scale", type=float, default=0.35)
     ap.add_argument("--out", default=None)
     ap.add_argument("--work", default="/tmp/cgs_curve")
     ap.add_argument("--json", default=None, help="also dump raw JSON")
@@ -102,7 +104,8 @@ def main():
         print("generating hard corpus (%d train utts)..." % args.utts)
         spec = synth.SynthSpec(hard=True, num_phones=48, states_per_phone=3,
                                feat_dim=40, num_utts=args.utts,
-                               min_len=80, max_len=220, seed=args.seed)
+                               min_len=80, max_len=220, seed=args.seed,
+                               noise=args.noise, spk_scale=args.spk_scale)
         synth.generate(root, spec,
                        splits={"train": args.utts,
                                "dev": max(args.utts // 6, 20),
