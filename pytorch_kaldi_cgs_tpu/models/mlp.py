@@ -72,7 +72,7 @@ class MLP(AcousticModel):
                 continue
             # narrow inputs run faster dense-masked (see recurrent.py)
             kb_eff = -(-mask.shape[1] // bs)
-            if self.block_sparse_mode.lower() == "auto" and kb_eff < 8:
+            if self.block_sparse_mode.lower() == "auto" and kb_eff < 16:
                 continue
             try:
                 layout = BS.pack_layout(mask, bs, pad_k=True)
@@ -89,7 +89,13 @@ class MLP(AcousticModel):
                     "— dense masked path", i)
                 continue
             if self.block_sparse_mode.lower() == "auto" and not (
-                    layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
+                    layout.Kb >= 16 and layout.R * 2 <= layout.Kb):
+                # Kb >= 16 is MEASURED, not assumed: at Kb=8 (the
+                # 1024-wide/128-block libri GRU shape, G=3, level-2
+                # submask fused) the v3 kernels run 0.93x dense across
+                # two independent real-chip sessions (BENCH_r05 +
+                # PERF.md round-5); the 5.4x+ wins start at Kb=16
+                # (2048-wide). Force with <prefix>_block_sparse=True.
                 continue   # not profitable: stay dense-masked
             # level-2 submask in the w3 layout + a zero CSC placeholder
             # (the v3 backward never reads it)

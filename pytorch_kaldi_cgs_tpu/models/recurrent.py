@@ -181,7 +181,7 @@ class _RecurrentBase(AcousticModel):
             # (e.g. the 143-dim fMLLR front end -> Kb=2 padded) run
             # faster dense-masked; not a fallback, dense IS optimal
             kb_eff = -(-mask.shape[1] // bs)
-            if self.block_sparse_mode.lower() == "auto" and kb_eff < 8:
+            if self.block_sparse_mode.lower() == "auto" and kb_eff < 16:
                 continue
             try:
                 # pad_k: non-multiple input widths zero-pad to the next
@@ -200,7 +200,13 @@ class _RecurrentBase(AcousticModel):
                     "— dense masked path", self.prefix, i)
                 continue
             if self.block_sparse_mode.lower() == "auto" and not (
-                    layout.Kb >= 8 and layout.R * 2 <= layout.Kb):
+                    layout.Kb >= 16 and layout.R * 2 <= layout.Kb):
+                # Kb >= 16 is MEASURED, not assumed: at Kb=8 (the
+                # 1024-wide/128-block libri GRU shape, G=3, level-2
+                # submask fused) the v3 kernels run 0.93x dense across
+                # two independent real-chip sessions (BENCH_r05 +
+                # PERF.md round-5); the 5.4x+ wins start at Kb=16
+                # (2048-wide). Force with <prefix>_block_sparse=True.
                 continue   # not profitable: stay dense-masked
             # per-gate level-2 submasks in the w3 layout (stacked along
             # the gate axis the kernel consumes) + zero CSC placeholder

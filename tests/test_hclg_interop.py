@@ -9,8 +9,9 @@ read -> native WFST decode.
 
 Context-dependent graphs need no C expansion on our side: the external
 HCLG already encodes the context; the tid->pdf remap is the whole
-interop contract. Native CONSTRUCTION stays monophone and rejects
-context-dependency explicitly (tested below).
+interop contract. Native CONSTRUCTION supports mono and triphone
+(decode/graph.py expand_context, tests/test_triphone.py) and rejects
+anything wider explicitly (tested below).
 """
 import os
 import struct
@@ -187,11 +188,16 @@ def test_external_hclg_with_tid_ilabels_decodes(tmp_path):
         "tid-labeled external HCLG did not decode through the remap"
 
 
-def test_native_construction_rejects_context_dependency(tmp_path):
-    """Native graph construction is monophone-only (decode/graph.py);
-    asking for context expansion fails loudly with a pointer at the
-    external-HCLG path instead of silently building the wrong graph."""
+def test_native_construction_rejects_unknown_context(tmp_path):
+    """Native construction now supports mono AND tri (round 5,
+    tests/test_triphone.py); anything else still fails loudly with a
+    pointer at the external-HCLG path instead of silently building
+    the wrong graph."""
     lex = {"a": [[0]]}
     with pytest.raises(NotImplementedError, match="context"):
         G.build_word_graph(lex, {"a": 1}, states_per_phone=1,
-                           context="triphone")
+                           context="quinphone")
+    # triphone builds (context machinery lives in expand_context)
+    tri = G.build_word_graph(lex, {"a": 1}, states_per_phone=1,
+                             context="triphone")
+    assert tri.num_arcs > 0
