@@ -58,14 +58,22 @@ def build(stash_env: str):
     return jf, g, w3g
 
 
+# physical floor: 300 sequential recurrence steps cannot run faster
+# than ~0.5us each (kernel dispatch + VPU latency) — a window estimate
+# below T*0.5us is a degenerate differencing artifact (an inflated
+# t_lo paired with a clean t_hi) and must not enter the min.
+FLOOR_S = 300 * 0.5e-6
+
+
 def measure_once(jf, g, w3g):
-    return chained_step_time(jf, (g, w3g),
-                             chain=lambda cur, out, i: (out, cur[1]),
-                             readback=lambda out: out, n_lo=2, n_hi=10,
-                             repeats=1)
+    t = chained_step_time(jf, (g, w3g),
+                          chain=lambda cur, out, i: (out, cur[1]),
+                          readback=lambda out: out, n_lo=2, n_hi=10,
+                          repeats=2)
+    return t if t > FLOOR_S else None
 
 
-def main(rounds: int = 4):
+def main(rounds: int = 5):
     jf_stash, g, w3g = build("")        # stash default
     jf_rec, _, _ = build("1")           # recompute forced
     os.environ["PKC_LSTM_BWD_RECOMPUTE"] = ""
@@ -74,14 +82,20 @@ def main(rounds: int = 4):
     for r in range(rounds):
         ts = measure_once(jf_stash, g, w3g)
         tr = measure_once(jf_rec, g, w3g)
-        pairs.append((ts * 1e3, tr * 1e3))
-        best_s = ts if best_s is None else min(best_s, ts)
-        best_r = tr if best_r is None else min(best_r, tr)
-        print("round %d: stash %.3f ms  recompute %.3f ms" % (
-            r, ts * 1e3, tr * 1e3), flush=True)
-    print("min-per-variant: stash %.3f ms, recompute %.3f ms, "
-          "recompute/stash = %.3fx" % (best_s * 1e3, best_r * 1e3,
-                                       best_r / best_s))
+        pairs.append((ts, tr))
+        if ts is not None:
+            best_s = ts if best_s is None else min(best_s, ts)
+        if tr is not None:
+            best_r = tr if best_r is None else min(best_r, tr)
+        print("round %d: stash %s ms  recompute %s ms" % (
+            r, "%.3f" % (ts * 1e3) if ts else "floor-reject",
+            "%.3f" % (tr * 1e3) if tr else "floor-reject"), flush=True)
+    if best_s and best_r:
+        print("min-per-variant: stash %.3f ms, recompute %.3f ms, "
+              "recompute/stash = %.3fx" % (best_s * 1e3, best_r * 1e3,
+                                           best_r / best_s))
+    else:
+        print("no valid rounds survived the physical floor")
 
 
 if __name__ == "__main__":
