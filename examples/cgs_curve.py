@@ -93,6 +93,8 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--noise", type=float, default=0.6)
     ap.add_argument("--spk-scale", type=float, default=0.35)
+    ap.add_argument("--phones", type=int, default=48)
+    ap.add_argument("--states", type=int, default=3)
     ap.add_argument("--out", default=None)
     ap.add_argument("--work", default="/tmp/cgs_curve")
     ap.add_argument("--json", default=None, help="also dump raw JSON")
@@ -102,7 +104,8 @@ def main():
     root = os.path.join(args.work, "data")
     if not os.path.exists(os.path.join(root, "train", "feats.scp")):
         print("generating hard corpus (%d train utts)..." % args.utts)
-        spec = synth.SynthSpec(hard=True, num_phones=48, states_per_phone=3,
+        spec = synth.SynthSpec(hard=True, num_phones=args.phones,
+                               states_per_phone=args.states,
                                feat_dim=40, num_utts=args.utts,
                                min_len=80, max_len=220, seed=args.seed,
                                noise=args.noise, spk_scale=args.spk_scale)
