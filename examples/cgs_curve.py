@@ -27,7 +27,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# CPU by default (deterministic, no chip contention with the driver
+# bench); --platform tpu trains each point on the real chip, which cuts
+# a full-suite trace from hours to minutes. Parsed pre-init because the
+# platform must be pinned before the backend exists. For tpu we leave
+# the platform list at its default: the tunneled chip only registers
+# through automatic backend resolution (forcing "tpu" fails with "no
+# jellyfish device" under the tunnel).
+_PLATFORM = "cpu"
+if "--platform" in sys.argv:
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+if _PLATFORM != "tpu":
+    jax.config.update("jax_platforms", _PLATFORM)
 
 from pytorch_kaldi_cgs_tpu.data import synth
 from pytorch_kaldi_cgs_tpu.utils.cgs_suite import DESIGN_POINTS
@@ -48,9 +59,9 @@ def scale_blocks(blocks: str) -> str:
     return ",".join([str(int(lv[0]) // 2)] + lv[1:])
 
 
-def point_kwargs(name: str, hidden: int):
+def point_kwargs(name: str, hidden: int, epochs: int = 0, lr: float = 0.004):
     p = DESIGN_POINTS[name]
-    kw = dict(model="LSTM", hidden=hidden, opt="rmsprop", lr=0.008, cw=0)
+    kw = dict(model="LSTM", hidden=hidden, opt="rmsprop", lr=lr, cw=0)
     if p.get("hcgs"):
         kw.update(hcgs=True, hcgs_block=scale_blocks(p["blocks"]),
                   hcgs_sparse=p["drops"])
@@ -64,17 +75,22 @@ def point_kwargs(name: str, hidden: int):
     if p.get("pattern"):
         kw.update(pattern=True, pattern_shape=p["pattern_shape"],
                   pattern_nnz=p["pattern_nnz"], pattern_num=p["pattern_num"])
+        # reference lifecycle (record.md:105 via pattern_search.py):
+        # kmeans patterns are cut from a TRAINED dense model, then
+        # fine-tuned. Two dense-training thirds, one fine-tune third.
+        if epochs:
+            kw.update(apply_pattern_ep=max(2, (2 * epochs) // 3 + 1))
     return kw
 
 
 def run_point(name: str, root: str, work: str, hidden: int, epochs: int,
-              batch: int, seed: int) -> dict:
+              batch: int, seed: int, lr: float = 0.004) -> dict:
     from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
     out_dir = os.path.join(work, "exp_%s" % name)
     cfg = os.path.join(work, "cfg_%s.cfg" % name)
     make_synth_cfg(cfg, root, out_dir, n_epochs=epochs, n_chunks=1,
                    batch_size=batch, seed=seed, lmwt_sweep=False,
-                   **point_kwargs(name, hidden))
+                   **point_kwargs(name, hidden, epochs, lr))
     t0 = time.time()
     results = run_exp(cfg)
     wer_keys = [k for k in results if k.startswith("wer_")]
@@ -91,11 +107,16 @@ def main():
     ap.add_argument("--utts", type=int, default=240)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--lr", type=float, default=0.004)
     ap.add_argument("--noise", type=float, default=0.6)
     ap.add_argument("--spk-scale", type=float, default=0.35)
+    ap.add_argument("--mean-scale", type=float, default=1.0)
+    ap.add_argument("--seg-noise", type=float, default=0.35)
+    ap.add_argument("--boundary-frac", type=float, default=0.3)
     ap.add_argument("--phones", type=int, default=48)
     ap.add_argument("--states", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--work", default="/tmp/cgs_curve")
     ap.add_argument("--json", default=None, help="also dump raw JSON")
     args = ap.parse_args()
@@ -108,7 +129,10 @@ def main():
                                states_per_phone=args.states,
                                feat_dim=40, num_utts=args.utts,
                                min_len=80, max_len=220, seed=args.seed,
-                               noise=args.noise, spk_scale=args.spk_scale)
+                               noise=args.noise, spk_scale=args.spk_scale,
+                               mean_scale=args.mean_scale,
+                               seg_noise=args.seg_noise,
+                               boundary_frac=args.boundary_frac)
         synth.generate(root, spec,
                        splits={"train": args.utts,
                                "dev": max(args.utts // 6, 20),
@@ -119,7 +143,7 @@ def main():
         name = name.strip()
         print("=== %s ===" % name, flush=True)
         r = run_point(name, root, args.work, args.hidden, args.epochs,
-                      args.batch, args.seed)
+                      args.batch, args.seed, args.lr)
         print("    PER %.2f  (%.0fs)" % (r["per"], r["train_s"]), flush=True)
         rows.append(r)
 

@@ -302,6 +302,15 @@ def write_cfg_chunk(config: configparser.ConfigParser, config_chunk_file: str,
         else:
             chunk[arch]["apply_guided_hcgs"] = "False"
             chunk[arch]["guided_hcgs"] = "False"
+        # pattern two-phase switch: dense epochs first, then kmeans
+        # patterns fixed for the fine-tune tail (the reference's
+        # record.md:105 pattern run fine-tunes a pretrained dense model
+        # via pattern_search.py; this reproduces that lifecycle in one
+        # experiment)
+        if config.has_option("exp", "apply_pattern_ep") \
+                and chunk.has_option(arch, "if_pattern") \
+                and (ep + 1) < int(config["exp"]["apply_pattern_ep"]):
+            chunk[arch]["if_pattern"] = "False"
 
     for arch in lr:
         chunk[arch]["arch_lr"] = str(lr[arch][ep])

@@ -249,13 +249,20 @@ class MLP(AcousticModel):
         (ref: neural_networks.py:339-361)."""
         if not self.spec.if_pattern:
             return variables
+        # compute-once, like the reference (patterns built lazily when
+        # absent, never re-clustered; core.py:304-316 hook is a no-op)
         masks = dict(variables["masks"])
+        changed = False
         for i in range(self.N):
+            key = "pattern_w%d" % i
+            if key in masks:
+                continue
             w = np.asarray(variables["params"]["w%d" % i])
             pats = pattern_mod.find_top_k_by_kmeans(
                 w, self.spec.pattern_num[min(i, len(self.spec.pattern_num) - 1)],
                 self.spec.pattern_shape,
                 self.spec.pattern_nnz[min(i, len(self.spec.pattern_nnz) - 1)],
                 seed=seed)
-            masks["pattern_w%d" % i] = pattern_mod.apply_patterns(w, pats)
-        return {**variables, "masks": masks}
+            masks[key] = pattern_mod.apply_patterns(w, pats)
+            changed = True
+        return {**variables, "masks": masks} if changed else variables

@@ -566,22 +566,33 @@ class _RecurrentBase(AcousticModel):
         return {**variables, "masks": masks}
 
     def refresh_patterns(self, variables, seed: int = 0):
-        """Per-matrix k-means pattern refresh, keyed like the reference's
+        """Per-matrix k-means pattern search, keyed like the reference's
         pattern dicts pattern_wfx..pattern_uch
-        (ref: neural_networks.py:566-589, :1162-1223)."""
+        (ref: neural_networks.py:566-589, :1162-1223).
+
+        Compute-once: the reference builds patterns lazily the first time
+        a matrix has none and never re-clusters (its per-chunk
+        update_patterns hook is commented out, ref core.py:304-316), so
+        masks stay fixed once applied. Re-clustering every chunk churned
+        masks and cost accuracy on the CGS curve."""
         if not self.spec.if_pattern:
             return variables
         masks = dict(variables["masks"])
+        changed = False
         for i in range(self.N):
             for g in self.gates_x + self.gates_h:
+                key = "pattern_%s%d" % (g, i)
+                if key in masks:
+                    continue
                 w = np.asarray(variables["params"]["%s%d" % (g, i)])
                 pats = pattern_mod.find_top_k_by_kmeans(
                     w, self.spec.pattern_num[min(i, len(self.spec.pattern_num) - 1)],
                     self.spec.pattern_shape,
                     self.spec.pattern_nnz[min(i, len(self.spec.pattern_nnz) - 1)],
                     seed=seed)
-                masks["pattern_%s%d" % (g, i)] = pattern_mod.apply_patterns(w, pats)
-        return {**variables, "masks": masks}
+                masks[key] = pattern_mod.apply_patterns(w, pats)
+                changed = True
+        return {**variables, "masks": masks} if changed else variables
 
 
 # ---------------------------------------------------------------------------

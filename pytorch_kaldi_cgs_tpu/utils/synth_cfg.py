@@ -126,6 +126,7 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    guided: bool = False, apply_guided_ep: Optional[int] = None,
                    pattern: bool = False, pattern_shape: str = "4,4",
                    pattern_nnz: int = 4, pattern_num: int = 8,
+                   apply_pattern_ep: Optional[int] = None,
                    multitask_mono: bool = False,
                    multi_gpu: bool = False, model_parallel: int = 1,
                    seq_parallel: int = 1,
@@ -348,8 +349,10 @@ norm_vars = False
            recipe_line=("scoring_recipe = %s\n" % scoring_recipe)
            if scoring_recipe else "",scoring_opts="--min-lmwt 1 --max-lmwt 10" if lmwt_sweep
            else "--min-lmwt 5 --max-lmwt 5",
-           guided_ep=("\napply_guided_ep = %d" % apply_guided_ep)
-           if apply_guided_ep is not None else "",
+           guided_ep=("\napply_guided_ep = %d" % apply_guided_ep
+                      if apply_guided_ep is not None else "")
+           + ("\napply_pattern_ep = %d" % apply_pattern_ep
+              if apply_pattern_ep is not None else ""),
            out_folder=out_folder, seed=seed, n_epochs=n_epochs,
            multi_gpu=multi_gpu, model_parallel=model_parallel,
            seq_parallel=seq_parallel,

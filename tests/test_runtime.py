@@ -261,6 +261,57 @@ def test_end_to_end_pattern_refresh(synth_root):
     np.testing.assert_array_equal(blocks.sum(1), 8)
 
 
+def test_pattern_two_phase_and_compute_once(synth_root):
+    """apply_pattern_ep trains dense first, then cuts kmeans patterns
+    ONCE and keeps the mask fixed for the fine-tune tail — the
+    reference's record.md:105 lifecycle (pattern_search.py on a trained
+    model; its per-chunk update hook is commented out, core.py:304-316)."""
+    tmp, root = synth_root
+    out_folder = str(tmp / "exp_pattern2ph")
+    cfg = make_synth_cfg(str(tmp / "pattern2ph.cfg"), root, out_folder,
+                         model="MLP", hidden=32, n_epochs=3, n_chunks=1,
+                         batch_size=128, lr=0.06, cw=1,
+                         pattern=True, pattern_shape="4,4", pattern_nnz=8,
+                         pattern_num=6, apply_pattern_ep=2,
+                         lmwt_sweep=False)
+    from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
+    run_exp(cfg)
+    import configparser
+    # phase 1 chunk trains dense (if_pattern off), phase 2 patterned
+    cc0 = configparser.ConfigParser()
+    cc0.read(glob.glob(os.path.join(out_folder, "exp_files",
+                                    "train_*ep0_ck0.cfg"))[0])
+    assert cc0["architecture1"]["if_pattern"] == "False"
+    cc1 = configparser.ConfigParser()
+    cc1.read(glob.glob(os.path.join(out_folder, "exp_files",
+                                    "train_*ep1_ck0.cfg"))[0])
+    assert cc1["architecture1"]["if_pattern"] == "True"
+    # masks present in the final (fine-tuned) checkpoint
+    from pytorch_kaldi_cgs_tpu.runtime.checkpoint import load_checkpoint
+    ck = load_checkpoint(os.path.join(out_folder, "exp_files",
+                                      "final_architecture1.pkl"))
+    assert any(k.startswith("pattern_") for k in ck["model_par"]["masks"])
+
+    # compute-once directly on the model hook: a second refresh with
+    # DIFFERENT weights must not move the existing masks
+    from pytorch_kaldi_cgs_tpu.models import MLP
+    opts = {"to_do": "train", "arch_name": "m", "out_folder": str(tmp),
+            "dnn_lay": "16", "dnn_drop": "0.0",
+            "dnn_use_batchnorm": "False", "dnn_use_laynorm": "False",
+            "dnn_use_laynorm_inp": "False", "dnn_use_batchnorm_inp": "False",
+            "dnn_act": "relu", "if_pattern": "True",
+            "pattern_mode": "pattern", "pattern_shape": "4,4",
+            "pattern_nnz": "8", "pattern_num": "4"}
+    net = MLP(opts, 16)
+    v = net.init(0)
+    v1 = net.refresh_patterns(v, seed=0)
+    m1 = np.asarray(v1["masks"]["pattern_w0"])
+    v_shuf = {**v1, "params": {**v1["params"],
+                               "w0": np.asarray(v1["params"]["w0"])[::-1]}}
+    v2 = net.refresh_patterns(v_shuf, seed=7)
+    np.testing.assert_array_equal(m1, np.asarray(v2["masks"]["pattern_w0"]))
+
+
 def test_recognizer_pipeline_runs():
     """Raw audio -> fbank -> MLP -> Viterbi in one device pipeline."""
     from pytorch_kaldi_cgs_tpu.runtime.serve import Recognizer
