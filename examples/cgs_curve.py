@@ -59,9 +59,15 @@ def scale_blocks(blocks: str) -> str:
     return ",".join([str(int(lv[0]) // 2)] + lv[1:])
 
 
-def point_kwargs(name: str, hidden: int, epochs: int = 0, lr: float = 0.004):
+def point_kwargs(name: str, hidden: int, epochs: int = 0, lr: float = 0.004,
+                 drop: float = 0.2):
     p = DESIGN_POINTS[name]
-    kw = dict(model="LSTM", hidden=hidden, opt="rmsprop", lr=lr, cw=0)
+    # dropout 0.2 on every point uniformly — the reference flagship's
+    # own training hygiene (cfg/TIMIT_CGS/*.cfg lstm_drop); without it
+    # the dense point overfits the disjoint-speaker corpus and its
+    # miscalibrated posteriors decode WORSE than the 64x point's
+    kw = dict(model="LSTM", hidden=hidden, opt="rmsprop", lr=lr, cw=0,
+              drop=drop)
     if p.get("hcgs"):
         kw.update(hcgs=True, hcgs_block=scale_blocks(p["blocks"]),
                   hcgs_sparse=p["drops"])
@@ -84,13 +90,14 @@ def point_kwargs(name: str, hidden: int, epochs: int = 0, lr: float = 0.004):
 
 
 def run_point(name: str, root: str, work: str, hidden: int, epochs: int,
-              batch: int, seed: int, lr: float = 0.004) -> dict:
+              batch: int, seed: int, lr: float = 0.004,
+              drop: float = 0.2) -> dict:
     from pytorch_kaldi_cgs_tpu.runtime.experiment import run_exp
     out_dir = os.path.join(work, "exp_%s" % name)
     cfg = os.path.join(work, "cfg_%s.cfg" % name)
     make_synth_cfg(cfg, root, out_dir, n_epochs=epochs, n_chunks=1,
                    batch_size=batch, seed=seed, lmwt_sweep=False,
-                   **point_kwargs(name, hidden, epochs, lr))
+                   **point_kwargs(name, hidden, epochs, lr, drop))
     t0 = time.time()
     results = run_exp(cfg)
     wer_keys = [k for k in results if k.startswith("wer_")]
@@ -108,6 +115,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--lr", type=float, default=0.004)
+    ap.add_argument("--drop", type=float, default=0.2)
     ap.add_argument("--noise", type=float, default=0.6)
     ap.add_argument("--spk-scale", type=float, default=0.35)
     ap.add_argument("--mean-scale", type=float, default=1.0)
@@ -115,6 +123,7 @@ def main():
     ap.add_argument("--boundary-frac", type=float, default=0.3)
     ap.add_argument("--phones", type=int, default=48)
     ap.add_argument("--states", type=int, default=3)
+    ap.add_argument("--speakers", type=int, default=24)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--work", default="/tmp/cgs_curve")
@@ -132,7 +141,8 @@ def main():
                                noise=args.noise, spk_scale=args.spk_scale,
                                mean_scale=args.mean_scale,
                                seg_noise=args.seg_noise,
-                               boundary_frac=args.boundary_frac)
+                               boundary_frac=args.boundary_frac,
+                               num_speakers=args.speakers)
         synth.generate(root, spec,
                        splits={"train": args.utts,
                                "dev": max(args.utts // 6, 20),
@@ -143,7 +153,7 @@ def main():
         name = name.strip()
         print("=== %s ===" % name, flush=True)
         r = run_point(name, root, args.work, args.hidden, args.epochs,
-                      args.batch, args.seed, args.lr)
+                      args.batch, args.seed, args.lr, args.drop)
         print("    PER %.2f  (%.0fs)" % (r["per"], r["train_s"]), flush=True)
         rows.append(r)
 
@@ -154,6 +164,38 @@ def main():
         write_results_md(args.out, rows, args)
     for r in rows:
         print("%-14s PER %6.2f" % (r["name"], r["per"]))
+
+
+# the reference's ordering claims (record.md:29-105), checked on the
+# measured rows; hcgs_16x is the mean of the a/b splits where both ran
+_ORDER_RELATIONS = [
+    ("dense", "<=", "quant_8w16a", 0.5),
+    ("quant_8w16a", "<=", "quant_6w13a", 0.5),
+    ("dense", "<", "hcgs_10x", 0.0),
+    ("hcgs_10x", "<", "hcgs_16x", 0.0),
+    ("hcgs_16x", "<", "hcgs_32x", 0.0),
+    ("hcgs_32x", "<", "hcgs_64x", 0.0),
+]
+
+
+def ordering_report(rows):
+    per = {r["name"]: r["per"] for r in rows}
+    ab = [per[k] for k in ("hcgs_16x_a", "hcgs_16x_b") if k in per]
+    if ab:
+        per["hcgs_16x"] = sum(ab) / len(ab)
+    out = ["## Measured ordering vs the reference's structure", ""]
+    for a, op, b, slack in _ORDER_RELATIONS:
+        if a not in per or b not in per:
+            continue
+        ok = per[a] <= per[b] + slack if op == "<=" else per[a] < per[b]
+        out.append("- %s %s %s: **%s** (%.2f vs %.2f%s)" % (
+            a, op, b, "holds" if ok else "VIOLATED", per[a], per[b],
+            ", slack %.1f" % slack if slack else ""))
+    if "pattern_16" in per and "hcgs_16x" in per:
+        d = per["pattern_16"] - per["hcgs_16x"]
+        out.append("- pattern_16 ≈ hcgs_16x: Δ %.2f (ref: ~equal at 16x)" % d)
+    out.append("")
+    return out
 
 
 def write_results_md(path: str, rows, args):
@@ -167,8 +209,17 @@ def write_results_md(path: str, rows, args):
         "Model: 2x%d LSTM + softmax head, HCGS grids identical to the" % args.hidden,
         "reference flagship (blocks scaled 128→64 with width 1024→512;",
         "same 8-blocks-per-row level-1 grid, same keep fractions).",
-        "%d train utts, %d epochs, seed %d." % (args.utts, args.epochs,
-                                                args.seed),
+        "%d train utts, %d epochs, lr %g, dropout %g, seed %d." % (
+            args.utts, args.epochs, args.lr, args.drop, args.seed),
+        "Corpus recipe: noise %g, spk_scale %g (%d disjoint speakers per"
+        % (args.noise, args.spk_scale, args.speakers),
+        "split), mean_scale %g, seg_noise %g, boundary_frac %g, %d phones"
+        % (args.mean_scale, args.seg_noise, args.boundary_frac,
+           args.phones),
+        "x %d states. Pattern point: apply_pattern_ep two-phase (dense"
+        % args.states,
+        "pretrain, kmeans patterns cut once from trained weights, masked",
+        "fine-tune) — the reference's pattern_search.py lifecycle.",
         "",
         "| design point | PER (this framework, synth) | reference PER "
         "(TIMIT, record.md) |",
@@ -186,6 +237,7 @@ def write_results_md(path: str, rows, args):
         "`tests/test_cgs_curve.py`.",
         "",
     ]
+    lines += ordering_report(rows)
     with open(path, "w") as f:
         f.write("\n".join(lines))
     print("wrote", path)

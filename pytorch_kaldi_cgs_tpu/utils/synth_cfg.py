@@ -35,7 +35,7 @@ arch_pretrain_file = none
 arch_freeze = False
 arch_seq_model = True
 lstm_lay = {hidden},{hidden}
-lstm_drop = 0.0,0.0
+lstm_drop = {drop},{drop}
 lstm_use_laynorm_inp = False
 lstm_use_batchnorm_inp = False
 lstm_use_laynorm = False,False
@@ -127,6 +127,7 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
                    pattern: bool = False, pattern_shape: str = "4,4",
                    pattern_nnz: int = 4, pattern_num: int = 8,
                    apply_pattern_ep: Optional[int] = None,
+                   drop: float = 0.0,
                    multitask_mono: bool = False,
                    multi_gpu: bool = False, model_parallel: int = 1,
                    seq_parallel: int = 1,
@@ -162,7 +163,8 @@ def make_synth_cfg(cfg_path: str, data_root: str, out_folder: str,
         forward_out = "out_dnn1"
         seq_flag = "False"
     elif model == "LSTM":
-        arch1 = _ARCH_TEMPLATES["LSTM"].format(hidden=hidden) + _OPT.format(lr=lr, opt=opt)
+        arch1 = _ARCH_TEMPLATES["LSTM"].format(hidden=hidden, drop=drop) \
+            + _OPT.format(lr=lr, opt=opt)
         arch1 += _fix_guided(_SPARSITY_LSTM.format(hcgs=hcgs, hcgs_block=hcgs_block,
                                        hcgs_sparse=hcgs_sparse, quant=quant,
                                        param_quant=param_quant, quant_inp=quant_inp,
