@@ -128,6 +128,16 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--work", default="/tmp/cgs_curve")
     ap.add_argument("--json", default=None, help="also dump raw JSON")
+    # watchdog driver: the tunneled chip's connection can wedge
+    # per-process (dispatch never completes, all threads futex-wait,
+    # while NEW processes reach the chip fine). Run each point in a
+    # child process and kill+retry on output stall — the chunk-level
+    # .info resume machinery makes a retry resume, not restart.
+    ap.add_argument("--retries", type=int, default=2,
+                    help="per-point stall retries (0 = run in-process)")
+    ap.add_argument("--stall-timeout", type=float, default=480.0,
+                    help="seconds without new exp_files output = stalled")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -152,8 +162,11 @@ def main():
     for name in args.points.split(","):
         name = name.strip()
         print("=== %s ===" % name, flush=True)
-        r = run_point(name, root, args.work, args.hidden, args.epochs,
-                      args.batch, args.seed, args.lr, args.drop)
+        if args.retries > 0 and not args.child:
+            r = run_point_watchdog(name, args)
+        else:
+            r = run_point(name, root, args.work, args.hidden, args.epochs,
+                          args.batch, args.seed, args.lr, args.drop)
         print("    PER %.2f  (%.0fs)" % (r["per"], r["train_s"]), flush=True)
         rows.append(r)
 
@@ -164,6 +177,75 @@ def main():
         write_results_md(args.out, rows, args)
     for r in rows:
         print("%-14s PER %6.2f" % (r["name"], r["per"]))
+
+
+def run_point_watchdog(name: str, args) -> dict:
+    """Run one design point in a child process; kill + retry on output
+    stall (wedged tunnel connection). Resume is chunk-granular via the
+    .info skip, so a retry loses at most one chunk of work."""
+    import signal
+    import subprocess
+
+    exp_dir = os.path.join(args.work, "exp_%s" % name)
+    pj = os.path.join(args.work, "result_%s.json" % name)
+    child_args = [sys.executable, os.path.abspath(__file__), "--child",
+                  "--retries", "0", "--points", name, "--json", pj]
+    passthrough = {"--hidden": args.hidden, "--epochs": args.epochs,
+                   "--utts": args.utts, "--batch": args.batch,
+                   "--seed": args.seed, "--lr": args.lr,
+                   "--drop": args.drop, "--noise": args.noise,
+                   "--spk-scale": args.spk_scale,
+                   "--mean-scale": args.mean_scale,
+                   "--seg-noise": args.seg_noise,
+                   "--boundary-frac": args.boundary_frac,
+                   "--phones": args.phones, "--states": args.states,
+                   "--speakers": args.speakers,
+                   "--platform": args.platform, "--work": args.work}
+    for k, v in passthrough.items():
+        child_args += [k, str(v)]
+
+    def newest_mtime():
+        best = 0.0
+        d = os.path.join(exp_dir, "exp_files")
+        for sub in (d, os.path.join(exp_dir, "generated_outputs"), exp_dir):
+            if os.path.isdir(sub):
+                for f in os.listdir(sub):
+                    try:
+                        best = max(best, os.path.getmtime(
+                            os.path.join(sub, f)))
+                    except OSError:
+                        pass
+        return best
+
+    for attempt in range(args.retries + 1):
+        if os.path.exists(pj):
+            os.unlink(pj)
+        t0 = time.time()
+        proc = subprocess.Popen(child_args, start_new_session=True)
+        while True:
+            ret = proc.poll()
+            if ret is not None:
+                break
+            time.sleep(20)
+            last = max(newest_mtime(), t0)
+            if time.time() - last > args.stall_timeout:
+                print("    [watchdog] no output for %.0fs — killing "
+                      "attempt %d" % (time.time() - last, attempt + 1),
+                      flush=True)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except OSError:
+                    proc.kill()
+                proc.wait()
+                ret = None
+                break
+        if ret == 0 and os.path.exists(pj):
+            with open(pj) as f:
+                return json.load(f)[0]
+        print("    [watchdog] attempt %d failed (ret=%s), retrying..."
+              % (attempt + 1, ret), flush=True)
+    raise RuntimeError("point %s failed after %d attempts"
+                       % (name, args.retries + 1))
 
 
 # the reference's ordering claims (record.md:29-105), checked on the
@@ -208,7 +290,10 @@ def write_results_md(path: str, rows, args):
         "disjoint-speaker affine warps, nonlinear observation map).",
         "Model: 2x%d LSTM + softmax head, HCGS grids identical to the" % args.hidden,
         "reference flagship (blocks scaled 128→64 with width 1024→512;",
-        "same 8-blocks-per-row level-1 grid, same keep fractions).",
+        "same 8-blocks-per-row level-1 grid, same keep fractions;",
+        "compression on the LSTM stack — the synth head is a single",
+        "512xN softmax, not the reference's deep MLP, so mlp_hcgs has",
+        "no analogue here).",
         "%d train utts, %d epochs, lr %g, dropout %g, seed %d." % (
             args.utts, args.epochs, args.lr, args.drop, args.seed),
         "Corpus recipe: noise %g, spk_scale %g (%d disjoint speakers per"

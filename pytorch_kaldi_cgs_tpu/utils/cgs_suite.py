@@ -42,9 +42,12 @@ DESIGN_POINTS: Dict[str, Dict] = {
                         mlp_hcgs=True, quant=True, wbits="8,8", abits=16),
     "hcgs_64x":    dict(hcgs=True, blocks="128,8", drops="87.5,87.5",
                         mlp_hcgs=True, quant=True, wbits="8,8", abits=16),
+    # two-phase lifecycle (ref pattern_search.py: kmeans patterns are
+    # cut from a TRAINED dense model, then fine-tuned): dense for the
+    # first 2/3 of the 24-epoch flagship schedule, masked after
     "pattern_16":  dict(hcgs=False, quant=True, wbits="8,8", abits=16,
                         pattern=True, pattern_num=16, pattern_shape="8,8",
-                        pattern_nnz=4),
+                        pattern_nnz=4, apply_pattern_ep=17),
     "guided_16x":  dict(hcgs=False, guided=True, blocks="128,8",
                         drops="75,75", apply_guided_ep=2,
                         quant=True, wbits="8,8", abits=16),
@@ -83,10 +86,12 @@ def write_suite(out_dir: str, template_path: str) -> Dict[str, str]:
             text = _sub(text, "lstm_quant_inp", "False")
         if p.get("guided"):
             text = _sub(text, "guided_hcgs", "True", count=1)
-            text = text.replace("[data_use]",
-                                "apply_guided_ep = %d\n\n[data_use]"
-                                % p["apply_guided_ep"], 1) \
-                if "apply_guided_ep" not in text else text
+            if "apply_guided_ep" not in text:
+                # must land in [exp] (config.has_option("exp", ...) is
+                # the runtime gate) — insert right after N_epochs_tr
+                text = re.sub(r"(?m)^(N_epochs_tr = .*)$",
+                              r"\1\napply_guided_ep = %d"
+                              % p["apply_guided_ep"], text, count=1)
         if p.get("pattern"):
             arch1_extra = ("if_pattern = True\npattern_mode = pattern\n"
                            "pattern_shape = %s\npattern_nnz = %d\n"
@@ -95,6 +100,10 @@ def write_suite(out_dir: str, template_path: str) -> Dict[str, str]:
                                p["pattern_num"]))
             text = text.replace("skip_regularization = True",
                                 arch1_extra + "skip_regularization = True", 1)
+            if p.get("apply_pattern_ep") and "apply_pattern_ep" not in text:
+                text = re.sub(r"(?m)^(N_epochs_tr = .*)$",
+                              r"\1\napply_pattern_ep = %d"
+                              % p["apply_pattern_ep"], text, count=1)
         path = os.path.join(out_dir, "TIMIT_LSTM_fmllr_cgs_%s.cfg" % name)
         with open(path, "w") as f:
             f.write(text)

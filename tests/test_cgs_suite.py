@@ -26,6 +26,13 @@ def test_suite_cfgs_shipped():
         assert c["architecture1"]["lstm_hcgs"] == str(p.get("hcgs", False))
         if p.get("quant"):
             assert c["architecture1"]["param_quant"] == p["wbits"]
+        # the two-phase epoch switches are read from [exp]
+        # (config/experiment.py make_chunk_config); anywhere else they
+        # silently never fire
+        if p.get("guided"):
+            assert c.has_option("exp", "apply_guided_ep")
+        if p.get("apply_pattern_ep"):
+            assert c.has_option("exp", "apply_pattern_ep")
 
 
 @pytest.fixture(scope="module")
