@@ -135,8 +135,11 @@ def main():
     # .info resume machinery makes a retry resume, not restart.
     ap.add_argument("--retries", type=int, default=2,
                     help="per-point stall retries (0 = run in-process)")
-    ap.add_argument("--stall-timeout", type=float, default=480.0,
-                    help="seconds without new exp_files output = stalled")
+    ap.add_argument("--stall-timeout", type=float, default=900.0,
+                    help="seconds without new exp_files output = stalled "
+                         "(first jit compile of a new design-point combo "
+                         "through the tunnel can take 500s+ and writes "
+                         "nothing — keep this comfortably above that)")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -205,16 +208,15 @@ def run_point_watchdog(name: str, args) -> dict:
         child_args += [k, str(v)]
 
     def newest_mtime():
+        # recursive: decode/scoring write only inside nested subdirs,
+        # whose top-level mtimes would otherwise look frozen
         best = 0.0
-        d = os.path.join(exp_dir, "exp_files")
-        for sub in (d, os.path.join(exp_dir, "generated_outputs"), exp_dir):
-            if os.path.isdir(sub):
-                for f in os.listdir(sub):
-                    try:
-                        best = max(best, os.path.getmtime(
-                            os.path.join(sub, f)))
-                    except OSError:
-                        pass
+        for base, _dirs, files in os.walk(exp_dir):
+            for f in files:
+                try:
+                    best = max(best, os.path.getmtime(os.path.join(base, f)))
+                except OSError:
+                    pass
         return best
 
     for attempt in range(args.retries + 1):
